@@ -1,0 +1,84 @@
+"""Model registry + builders.
+
+Mirrors the reference registry-driven assembly
+(`/root/reference/code/mmdet/models/builder.py`): config dicts with a
+``type`` key construct flax modules.  Registries: BACKBONES, NECKS, HEADS,
+DETECTORS.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+from ..utils.registry import Registry
+
+BACKBONES = Registry("backbone")
+NECKS = Registry("neck")
+HEADS = Registry("head")
+DETECTORS = Registry("detector")
+
+from .backbones.resnet import ResNet  # noqa: E402
+from .necks.fpn import FPN  # noqa: E402
+from .heads.ls_head import LSHead  # noqa: E402
+from .detectors.lsnet import LSDetector  # noqa: E402
+
+
+def build_backbone(cfg: Dict[str, Any]):
+    cfg = dict(cfg)
+    kind = cfg.pop("type")
+    cfg.pop("pretrained", None)
+    cfg.pop("norm_cfg", None)        # BN is always FrozenBatchNorm on TPU
+    cfg.pop("norm_eval", None)       # implied by FrozenBatchNorm
+    cfg.pop("style", None)           # only 'pytorch' style is implemented
+    cfg.pop("zero_init_residual", None)
+    dcn = cfg.pop("dcn", None)
+    if dcn is not None and "stage_with_dcn" not in cfg:
+        cfg["stage_with_dcn"] = (False, True, True, True)
+    cfg.pop("with_cp", None)
+    if kind == "ResNet":
+        return ResNet(block_type="resnet", **cfg)
+    if kind == "ResNeXt":
+        return ResNet(block_type="resnext", **cfg)
+    if kind == "Res2Net":
+        cfg.setdefault("base_width", 26)
+        return ResNet(block_type="res2net", **cfg)
+    raise KeyError(f"unknown backbone {kind}")
+
+
+def build_neck(cfg: Dict[str, Any]):
+    cfg = dict(cfg)
+    kind = cfg.pop("type")
+    cfg.pop("in_channels", None)     # inferred from inputs in flax
+    if kind == "FPN":
+        return FPN(**cfg)
+    raise KeyError(f"unknown neck {kind}")
+
+
+def build_head(cfg: Dict[str, Any]):
+    cfg = dict(cfg)
+    kind = cfg.pop("type")
+    # loss configs are consumed by core.loss, not the module
+    loss_cfgs = {k: cfg.pop(k) for k in list(cfg)
+                 if k.startswith("loss_")}
+    norm_cfg = cfg.pop("norm_cfg", None)
+    if norm_cfg is not None:
+        cfg["norm_groups"] = norm_cfg.get("num_groups", 32)
+    if kind == "LSHead":
+        head = LSHead(**cfg)
+        return head, loss_cfgs
+    raise KeyError(f"unknown head {kind}")
+
+
+def build_detector(cfg: Dict[str, Any]):
+    """Build the detector module from a full ``model`` config dict.
+
+    Returns (module, head_loss_cfgs)."""
+    cfg = dict(cfg)
+    kind = cfg.pop("type")
+    cfg.pop("pretrained", None)
+    backbone = build_backbone(cfg.pop("backbone"))
+    neck = build_neck(cfg.pop("neck"))
+    head, loss_cfgs = build_head(cfg.pop("bbox_head"))
+    if kind in ("LSDetector", "LSCPVDetector"):
+        return LSDetector(backbone=backbone, neck=neck, head=head), loss_cfgs
+    raise KeyError(f"unknown detector {kind}")

@@ -1,0 +1,29 @@
+"""LSDetector — single-stage detector assembly (flax).
+
+Equivalent of `/root/reference/code/mmdet/models/detectors/lsnet.py:13` +
+`single_stage.py:9`: backbone -> FPN -> LSHead.  The flax module is pure
+compute (image batch -> multi-level head outputs); loss and decoding live in
+:mod:`lsnet_tpu.core.loss` / :mod:`lsnet_tpu.core.decode` as pure functions,
+which is the JAX-idiomatic split (the reference folds them into class
+methods).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import jax
+from flax import linen as nn
+
+Array = jax.Array
+
+
+class LSDetector(nn.Module):
+    backbone: nn.Module
+    neck: nn.Module
+    head: nn.Module
+
+    def __call__(self, images: Array) -> Dict[str, List[Array]]:
+        feats = self.backbone(images)
+        feats = self.neck(feats)
+        return self.head(feats)

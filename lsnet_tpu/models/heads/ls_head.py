@@ -1,0 +1,402 @@
+"""LSHead — the unified location-sensitive dense head (flax, NHWC).
+
+TPU-native rebuild of `/root/reference/code/mmdet/models/dense_heads/
+lsnet_head.py` (1854 LoC).  Four task modes: ``bbox`` / ``segm`` /
+``pose_bbox`` / ``pose_kbox``.  Per FPN level, a two-stage regressor:
+
+  stage 1 (`forward_single1`, ref :502-598): conv towers -> init landmark
+    head -> softplus -> signed sampling field (``get_pred_reg`` :372-400)
+    -> straight-through gradient mix -> DCN offset field.
+  stage 2 (`forward_single2`, ref :600-755): three cross-level
+    PyramidDeformConv gathers (level list :603-613) -> 1x1 fuse + skip ->
+    GN -> ReLU -> refine head; refine = softplus(out + stop_grad(init)).
+
+Reference quirk reproduced deliberately (``offset_scale_compat=True``): the
+reference scales the offset field *in place through slice views*
+(:628-633), so the scale factors compound across the 3-iteration level
+loop; published checkpoints were trained this way.
+
+All level maps are NHWC; channel layouts per point are identical to the
+reference: 4 slots per landmark coordinate pair ``[y-, y+, x-, x+]``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..layers import (ConvModule, DCNConvModule, PyramidDeformConv,
+                      bias_init_with_prob, normal_init, kaiming_init)
+
+Array = jax.Array
+
+
+def dcn_base_offset(kernel: int) -> np.ndarray:
+    """(1,1,1,2K) base tap displacements [y,x] (ref :55-59)."""
+    pad = (kernel - 1) // 2
+    base = np.arange(-pad, pad + 1).astype(np.float32)
+    yy = np.repeat(base, kernel)
+    xx = np.tile(base, kernel)
+    return np.stack([yy, xx], axis=1).reshape(1, 1, 1, -1)
+
+
+def signed_from_pairs(x: Array) -> Array:
+    """Collapse 4-slot-per-pair layout to signed values.
+
+    x (..., 2P) where consecutive channel pairs are (neg_slot, pos_slot);
+    returns (..., P) = max(pair) with sign flipped when the neg slot wins
+    (ref ``extreme_points2bbox`` :321-327 core idiom)."""
+    shp = x.shape[:-1]
+    pairs = x.reshape(*shp, -1, 2)
+    val = jnp.max(pairs, axis=-1)
+    neg = jnp.argmax(pairs, axis=-1) == 0
+    return jnp.where(neg, -val, val)
+
+
+def extreme_points2bbox(pts: Array) -> Tuple[Array, Array]:
+    """pts (..., 4*(nv+1)) channel-last -> (extremes (...,8), bbox (...,4)).
+
+    Channel layout per point: [y-, y+, x-, x+]; point order t,l,b,r,center
+    (ref :321-347).  Returns extremes as [xt,yt, xl,yl, xb,yb, xr,yr] and
+    bbox [left, up, right, bottom] in *stride units* (caller rescales)."""
+    signed = signed_from_pairs(pts)                  # (..., 2*(nv+1)) [y,x]*
+    yx = signed.reshape(*signed.shape[:-1], -1, 2)
+    ys = yx[..., 0]
+    xs = yx[..., 1]
+    left = xs[..., 1]
+    right = xs[..., 3]
+    up = ys[..., 0]
+    bottom = ys[..., 2]
+    bbox = jnp.stack([left, up, right, bottom], axis=-1)
+    extremes = jnp.stack([xs[..., 0], ys[..., 0], xs[..., 1], ys[..., 1],
+                          xs[..., 2], ys[..., 2], xs[..., 3], ys[..., 3]],
+                         axis=-1)
+    return extremes, bbox
+
+
+def vectors2bbox(pts: Array) -> Tuple[Array, Array]:
+    """pts (..., 4*(nv+1)) -> (vectors (...,2*nv) xy-interleaved, bbox).
+
+    Drops the final center group (ref ``vectors2bbox`` :349-370)."""
+    signed = signed_from_pairs(pts[..., :-4])
+    yx = signed.reshape(*signed.shape[:-1], -1, 2)
+    ys = yx[..., 0]
+    xs = yx[..., 1]
+    bbox = jnp.stack([xs.min(-1), ys.min(-1), xs.max(-1), ys.max(-1)], axis=-1)
+    vectors = jnp.stack([xs, ys], axis=-1).reshape(*ys.shape[:-1], -1)
+    return vectors, bbox
+
+
+class LSHead(nn.Module):
+    num_classes: int
+    in_channels: int = 256
+    feat_channels: int = 256
+    point_feat_channels: int = 256
+    stacked_convs: int = 3
+    num_kernel_points: int = 9
+    gradient_mul: float = 0.1
+    point_strides: Sequence[int] = (8, 16, 32, 64, 128)
+    point_base_scale: int = 4
+    task: str = "bbox"
+    num_vectors: int = 4
+    conv_module_type: str = "norm"        # 'norm' | 'dcn'
+    norm_groups: int = 32
+    offset_scale_compat: bool = True
+
+    @property
+    def dcn_kernel(self) -> int:
+        return int(math.isqrt(self.num_kernel_points))
+
+    def _tower(self, prefix: str) -> List[nn.Module]:
+        blocks = []
+        for i in range(self.stacked_convs):
+            if self.conv_module_type == "norm":
+                blocks.append(ConvModule(
+                    self.feat_channels, 3,
+                    norm_cfg=dict(type="GN", num_groups=self.norm_groups),
+                    kernel_init=normal_init(0.01),
+                    name=f"{prefix}_convs_{i}"))
+            else:
+                blocks.append(DCNConvModule(
+                    self.feat_channels, self.dcn_kernel,
+                    num_groups=self.norm_groups,
+                    name=f"{prefix}_convs_{i}"))
+        return blocks
+
+    def setup(self):
+        task = self.task
+        nv = self.num_vectors
+        nkp = self.num_kernel_points
+        self.cls_tower = self._tower("cls")
+        self.branches = []
+        if task in ("bbox", "pose_bbox"):
+            self.bbox_tower = self._tower("bbox")
+            bbox_nv = 4
+            bbox_out_dim = 4 * (bbox_nv + 1) + (nkp - bbox_nv - 1) * 2  # 28
+            self.pts_bbox_init_conv = nn.Conv(
+                self.point_feat_channels, (3, 3), padding=1,
+                kernel_init=normal_init(0.01), name="pts_bbox_init_conv")
+            self.pts_bbox_init_out = nn.Conv(
+                bbox_out_dim, (1, 1), kernel_init=normal_init(0.01),
+                name="pts_bbox_init_out")
+            self.pts_bbox_refine_conv = PyramidDeformConv(
+                self.point_feat_channels, self.dcn_kernel,
+                padding=(self.dcn_kernel - 1) // 2,
+                name="pts_bbox_refine_conv")
+            self.pts_bbox_refine_out = nn.Conv(
+                4 * (bbox_nv + 1), (1, 1), kernel_init=normal_init(0.01),
+                name="pts_bbox_refine_out")
+            self.bbox_af_dcn_conv = nn.Conv(
+                self.point_feat_channels, (1, 1),
+                kernel_init=normal_init(0.01), name="bbox_af_dcn_conv")
+            self.bbox_feat_conv = nn.Conv(
+                self.point_feat_channels, (3, 3), padding=1,
+                kernel_init=normal_init(0.01), name="bbox_feat_conv")
+            self.bbox_gn = nn.GroupNorm(num_groups=self.norm_groups,
+                                        epsilon=1e-5, name="bbox_GN")
+        if task == "segm":
+            self.segm_tower = self._tower("segm")
+            out_dim = (nv + 1) * 4
+            self.pts_segm_init_conv = nn.Conv(
+                self.point_feat_channels, (3, 3), padding=1,
+                kernel_init=normal_init(0.01), name="pts_segm_init_conv")
+            self.pts_segm_init_out = nn.Conv(
+                out_dim, (1, 1), kernel_init=normal_init(0.01),
+                name="pts_segm_init_out")
+            self.pts_segm_refine_conv = PyramidDeformConv(
+                self.point_feat_channels, self.dcn_kernel,
+                padding=(self.dcn_kernel - 1) // 2,
+                name="pts_segm_refine_conv")
+            self.pts_segm_refine_out = nn.Conv(
+                out_dim, (1, 1), kernel_init=normal_init(0.01),
+                name="pts_segm_refine_out")
+            self.segm_af_dcn_conv = nn.Conv(
+                self.point_feat_channels, (1, 1),
+                kernel_init=normal_init(0.01), name="segm_af_dcn_conv")
+            self.segm_feat_conv = nn.Conv(
+                self.point_feat_channels, (3, 3), padding=1,
+                kernel_init=normal_init(0.01), name="segm_feat_conv")
+            self.segm_gn = nn.GroupNorm(num_groups=self.norm_groups,
+                                        epsilon=1e-5, name="segm_GN")
+        if task in ("pose_bbox", "pose_kbox"):
+            self.pose_tower = self._tower("pose")
+            out_dim = (nv + 1) * 4
+            self.pts_pose_init_conv = nn.Conv(
+                self.point_feat_channels, (3, 3), padding=1,
+                kernel_init=normal_init(0.01), name="pts_pose_init_conv")
+            self.pts_pose_init_out = nn.Conv(
+                out_dim, (1, 1), kernel_init=normal_init(0.01),
+                name="pts_pose_init_out")
+            self.pts_pose_refine_conv = PyramidDeformConv(
+                self.point_feat_channels, self.dcn_kernel,
+                padding=(self.dcn_kernel - 1) // 2,
+                name="pts_pose_refine_conv")
+            self.pts_pose_refine_out = nn.Conv(
+                out_dim, (1, 1), kernel_init=normal_init(0.01),
+                name="pts_pose_refine_out")
+            self.pose_af_dcn_conv = nn.Conv(
+                self.point_feat_channels, (1, 1),
+                kernel_init=normal_init(0.01), name="pose_af_dcn_conv")
+            self.pose_feat_conv = nn.Conv(
+                self.point_feat_channels, (3, 3), padding=1,
+                kernel_init=normal_init(0.01), name="pose_feat_conv")
+            self.pose_gn = nn.GroupNorm(num_groups=self.norm_groups,
+                                        epsilon=1e-5, name="pose_GN")
+        # classification branch (shared across tasks)
+        self.pts_cls_conv = PyramidDeformConv(
+            self.point_feat_channels, self.dcn_kernel,
+            padding=(self.dcn_kernel - 1) // 2, name="pts_cls_conv")
+        self.pts_cls_out = nn.Conv(
+            self.num_classes, (1, 1), kernel_init=normal_init(0.01),
+            bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
+            name="pts_cls_out")
+        self.cls_af_dcn_conv = nn.Conv(
+            self.point_feat_channels, (1, 1), kernel_init=normal_init(0.01),
+            name="cls_af_dcn_conv")
+        self.cls_feat_conv = nn.Conv(
+            self.point_feat_channels, (3, 3), padding=1,
+            kernel_init=normal_init(0.01), name="cls_feat_conv")
+        self.cls_gn = nn.GroupNorm(num_groups=self.norm_groups, epsilon=1e-5,
+                                   name="cls_GN")
+
+    # ---- stage-1 helpers -------------------------------------------------
+    def _get_pred_reg(self, raw_reg1: Array, raw_reg2: Optional[Array]) -> Array:
+        """Build the signed 2K-channel DCN sampling field (ref :372-400)."""
+        if raw_reg2 is not None:  # bbox: 5 signed points + 4 raw extra points
+            pos_reg = signed_from_pairs(raw_reg1)            # (...,10) [y,x]*5
+            return jnp.concatenate([pos_reg, raw_reg2], axis=-1)
+        # segm/pose: subsample (nv+1) groups down to K-1, append center
+        shp = raw_reg1.shape[:-1]
+        groups = raw_reg1.reshape(*shp, -1, 4)               # (..., nv+1, 4)
+        cts = groups[..., -1:, :]
+        polys = groups[..., :-1, :]
+        if self.task == "segm":
+            ks = math.ceil(self.num_vectors / (self.num_kernel_points - 1))
+            offs = polys[..., ::ks, :]
+        else:  # pose
+            offs = polys[..., 1::2, :]
+        sel = jnp.concatenate([offs, cts], axis=-2)          # (..., K, 4)
+        return signed_from_pairs(sel.reshape(*shp, -1))      # (..., 2K)
+
+    def _init_branch(self, feat: Array, init_conv, init_out,
+                     sp_channels: Optional[int]) -> Tuple[Array, Array]:
+        """-> (init_sp, dcn_offset). sp_channels: slice of softplus'd channels
+        (bbox: 20 of 28); None = all."""
+        raw = init_out(nn.relu(init_conv(feat)))
+        if sp_channels is not None:
+            init_sp = jax.nn.softplus(raw[..., :sp_channels])
+            pred_reg = self._get_pred_reg(init_sp, raw[..., sp_channels:])
+        else:
+            init_sp = jax.nn.softplus(raw)
+            pred_reg = self._get_pred_reg(init_sp, None)
+        mixed = ((1.0 - self.gradient_mul) * jax.lax.stop_gradient(pred_reg)
+                 + self.gradient_mul * pred_reg)
+        base = jnp.asarray(dcn_base_offset(self.dcn_kernel), feat.dtype)
+        return init_sp, mixed - base
+
+    # ---- stage-2 ---------------------------------------------------------
+    @staticmethod
+    def _level_list(lvl: int, num_levels: int) -> List[int]:
+        if lvl == 0:
+            return [0, 1, 2]
+        if lvl == num_levels - 1:
+            return [lvl, lvl - 1, lvl - 2]
+        return [lvl, lvl - 1, lvl + 1]
+
+    def _refine_gather(self, feats, offsets, lvl: int, pdc: PyramidDeformConv
+                       ) -> List[Array]:
+        """Three cross-level gathers with (compat) offset scaling."""
+        num_levels = len(feats)
+        base_h, base_w = feats[lvl].shape[1:3]
+        raws = []
+        off = offsets
+        for level in self._level_list(lvl, num_levels):
+            cur_h, cur_w = feats[level].shape[1:3]
+            scale_h = cur_h / base_h
+            scale_w = cur_w / base_w
+            if self.offset_scale_compat:
+                # reference mutates the offset in place through views, so
+                # scales compound across iterations (:628-633)
+                oy = off[..., 0::2] * scale_h
+                ox = off[..., 1::2] * scale_w
+                off = jnp.stack([oy, ox], axis=-1).reshape(off.shape)
+                off_use = off
+            else:
+                oy = offsets[..., 0::2] * scale_h
+                ox = offsets[..., 1::2] * scale_w
+                off_use = jnp.stack([oy, ox], axis=-1).reshape(offsets.shape)
+            raws.append(pdc(feats[level], off_use, scale_h, scale_w))
+        return raws
+
+    def _fuse(self, raws: List[Array], skip_feat: Array, af_conv, feat_conv,
+              gn, out_conv) -> Array:
+        x = af_conv(jnp.concatenate(raws, axis=-1))
+        x = nn.relu(x)
+        x = gn(x + feat_conv(skip_feat))
+        return out_conv(nn.relu(x))
+
+    # ---- forward ---------------------------------------------------------
+    def __call__(self, feats: Sequence[Array]) -> Dict[str, List[Array]]:
+        task = self.task
+        num_levels = len(feats)
+        outs: Dict[str, List[Array]] = {"cls": []}
+        if task in ("bbox", "pose_bbox"):
+            outs["bbox_init"] = []
+            outs["bbox_refine"] = []
+        if task == "segm":
+            outs["segm_init"] = []
+            outs["segm_refine"] = []
+        if task in ("pose_bbox", "pose_kbox"):
+            outs["pose_init"] = []
+            outs["pose_refine"] = []
+
+        # stage 1 per level
+        cls_feats, task_feats = [], {}
+        init_sps, dcn_offs = {}, {}
+        for key in ("bbox", "segm", "pose"):
+            task_feats[key] = []
+            init_sps[key] = []
+            dcn_offs[key] = []
+        for x in feats:
+            cf = x
+            for blk in self.cls_tower:
+                cf = blk(cf)
+            cls_feats.append(cf)
+            if task in ("bbox", "pose_bbox"):
+                bf = x
+                for blk in self.bbox_tower:
+                    bf = blk(bf)
+                sp, off = self._init_branch(bf, self.pts_bbox_init_conv,
+                                            self.pts_bbox_init_out, 20)
+                task_feats["bbox"].append(bf)
+                init_sps["bbox"].append(sp)
+                dcn_offs["bbox"].append(off)
+            if task == "segm":
+                sf = x
+                for blk in self.segm_tower:
+                    sf = blk(sf)
+                sp, off = self._init_branch(sf, self.pts_segm_init_conv,
+                                            self.pts_segm_init_out, None)
+                task_feats["segm"].append(sf)
+                init_sps["segm"].append(sp)
+                dcn_offs["segm"].append(off)
+            if task in ("pose_bbox", "pose_kbox"):
+                pf = x
+                for blk in self.pose_tower:
+                    pf = blk(pf)
+                sp, off = self._init_branch(pf, self.pts_pose_init_conv,
+                                            self.pts_pose_init_out, None)
+                task_feats["pose"].append(pf)
+                init_sps["pose"].append(sp)
+                dcn_offs["pose"].append(off)
+
+        # stage 2 per level
+        cls_offset_key = {"bbox": "bbox", "segm": "segm",
+                          "pose_bbox": "pose", "pose_kbox": "pose"}[task]
+        for lvl in range(num_levels):
+            if task in ("bbox", "pose_bbox"):
+                raws = self._refine_gather(task_feats["bbox"],
+                                           dcn_offs["bbox"][lvl], lvl,
+                                           self.pts_bbox_refine_conv)
+                out = self._fuse(raws, task_feats["bbox"][lvl],
+                                 self.bbox_af_dcn_conv, self.bbox_feat_conv,
+                                 self.bbox_gn, self.pts_bbox_refine_out)
+                refine_sp = jax.nn.softplus(
+                    out + jax.lax.stop_gradient(init_sps["bbox"][lvl]))
+                outs["bbox_init"].append(init_sps["bbox"][lvl])
+                outs["bbox_refine"].append(refine_sp)
+            if task == "segm":
+                raws = self._refine_gather(task_feats["segm"],
+                                           dcn_offs["segm"][lvl], lvl,
+                                           self.pts_segm_refine_conv)
+                out = self._fuse(raws, task_feats["segm"][lvl],
+                                 self.segm_af_dcn_conv, self.segm_feat_conv,
+                                 self.segm_gn, self.pts_segm_refine_out)
+                refine_sp = jax.nn.softplus(
+                    out + jax.lax.stop_gradient(init_sps["segm"][lvl]))
+                outs["segm_init"].append(init_sps["segm"][lvl])
+                outs["segm_refine"].append(refine_sp)
+            if task in ("pose_bbox", "pose_kbox"):
+                raws = self._refine_gather(task_feats["pose"],
+                                           dcn_offs["pose"][lvl], lvl,
+                                           self.pts_pose_refine_conv)
+                out = self._fuse(raws, task_feats["pose"][lvl],
+                                 self.pose_af_dcn_conv, self.pose_feat_conv,
+                                 self.pose_gn, self.pts_pose_refine_out)
+                refine_sp = jax.nn.softplus(
+                    out + jax.lax.stop_gradient(init_sps["pose"][lvl]))
+                outs["pose_init"].append(init_sps["pose"][lvl])
+                outs["pose_refine"].append(refine_sp)
+            cls_raws = self._refine_gather(cls_feats,
+                                           dcn_offs[cls_offset_key][lvl], lvl,
+                                           self.pts_cls_conv)
+            cls_out = self._fuse(cls_raws, cls_feats[lvl],
+                                 self.cls_af_dcn_conv, self.cls_feat_conv,
+                                 self.cls_gn, self.pts_cls_out)
+            outs["cls"].append(cls_out)
+        return outs

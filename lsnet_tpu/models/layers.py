@@ -1,0 +1,188 @@
+"""Shared NN building blocks (flax.linen, NHWC, TPU-native).
+
+Equivalents of the reference conv/norm "bricks"
+(`/root/reference/code/mmcv/mmcv/cnn/bricks/conv_module.py`): ConvModule
+(conv->norm->act), FrozenBatchNorm (the TPU-native realization of the
+reference's ``norm_eval=True`` BN: running stats always used, affine params
+trainable), and the deformable conv modules (DCNv2 pack, PyramidDeformConv)
+built on :mod:`lsnet_tpu.ops.deform_conv`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.deform_conv import modulated_deform_conv, pyramid_deform_conv
+
+Array = jax.Array
+
+kaiming_init = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
+
+
+def normal_init(std: float = 0.01):
+    return nn.initializers.normal(stddev=std)
+
+
+def _centered_uniform(scale: float):
+    """U(-scale, scale) — torch conv ``reset_parameters`` style."""
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -scale, scale)
+    return init
+
+
+def bias_init_with_prob(prior_prob: float) -> float:
+    """Focal-loss classification bias init (reference mmcv
+    `cnn/utils/weight_init.py`)."""
+    return float(-math.log((1 - prior_prob) / prior_prob))
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm that always normalizes with stored running statistics.
+
+    Matches the reference backbone setting ``norm_eval=True`` +
+    ``requires_grad=True`` (`configs/lsnet/lsnet_bbox_r50_fpn_1x_coco.py:16-17`):
+    statistics come from the (pretrained) running buffers, scale/bias remain
+    trainable. On TPU this is also the throughput-optimal choice — no
+    cross-device batch statistics.
+    """
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        c = x.shape[-1]
+        mean = self.variable("batch_stats", "mean",
+                             lambda: jnp.zeros((c,), jnp.float32)).value
+        var = self.variable("batch_stats", "var",
+                            lambda: jnp.ones((c,), jnp.float32)).value
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        return (x * inv + (bias - mean * inv)).astype(x.dtype)
+
+
+def make_norm(norm_cfg: Optional[dict], name: Optional[str] = None) -> Optional[nn.Module]:
+    if norm_cfg is None:
+        return None
+    kind = norm_cfg["type"]
+    if kind == "GN":
+        return nn.GroupNorm(num_groups=norm_cfg.get("num_groups", 32),
+                            epsilon=1e-5, dtype=jnp.float32, name=name)
+    if kind in ("BN", "SyncBN", "FrozenBN"):
+        return FrozenBatchNorm(name=name)
+    raise ValueError(f"unknown norm type {kind}")
+
+
+class ConvModule(nn.Module):
+    """conv -> norm -> activation."""
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: Any = None          # None => 'same-ish' explicit pad (k//2)
+    dilation: int = 1
+    groups: int = 1
+    bias: Any = "auto"
+    norm_cfg: Optional[dict] = None
+    act: Optional[str] = "relu"
+    kernel_init: Callable = kaiming_init
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        use_bias = (self.norm_cfg is None) if self.bias == "auto" else bool(self.bias)
+        pad = self.kernel_size // 2 * self.dilation if self.padding is None else self.padding
+        x = nn.Conv(self.out_channels, (self.kernel_size, self.kernel_size),
+                    strides=(self.stride, self.stride),
+                    padding=[(pad, pad), (pad, pad)],
+                    kernel_dilation=(self.dilation, self.dilation),
+                    feature_group_count=self.groups, use_bias=use_bias,
+                    kernel_init=self.kernel_init, name="conv")(x)
+        norm = make_norm(self.norm_cfg, name="norm")
+        if norm is not None:
+            x = norm(x)
+        if self.act == "relu":
+            x = nn.relu(x)
+        elif self.act is not None:
+            raise ValueError(f"unknown act {self.act}")
+        return x
+
+
+class ModulatedDeformConvPack(nn.Module):
+    """DCNv2 'pack': an internal zero-initialized conv predicts
+    (offset, mask) from the input (`deform_conv.py:488-562` reference).
+    """
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    dilation: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k = self.kernel_size
+        K = k * k
+        cin = x.shape[-1]
+        conv_offset = nn.Conv(3 * K, (k, k), strides=(self.stride,) * 2,
+                              padding=[(self.padding,) * 2] * 2,
+                              kernel_dilation=(self.dilation,) * 2,
+                              kernel_init=nn.initializers.zeros,
+                              bias_init=nn.initializers.zeros,
+                              name="conv_offset")(x)
+        o1, o2, mask = jnp.split(conv_offset, 3, axis=-1)
+        # reference layout: offset channels = [all y taps, ... wait —
+        # torch chunks into (o1, o2, mask) then cat(o1, o2): o1 holds the
+        # first K offset channels which are interleaved (y0,x0,...,y_{K/2}..)
+        offset = jnp.concatenate([o1, o2], axis=-1)
+        mask = jax.nn.sigmoid(mask)
+        stdv = 1.0 / math.sqrt(cin * K)
+        weight = self.param("weight", _centered_uniform(stdv),
+                            (k, k, cin, self.out_channels), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.out_channels,), jnp.float32)
+                if self.use_bias else None)
+        return modulated_deform_conv(
+            x, offset, mask, weight.astype(x.dtype),
+            None if bias is None else bias.astype(x.dtype),
+            stride=self.stride, padding=self.padding, dilation=self.dilation)
+
+
+class PyramidDeformConv(nn.Module):
+    """Weight holder for the cross-level deformable conv
+    (`deform_conv.py:565-629` reference). Called with an external offset
+    field and (scale_h, scale_w)."""
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    kernel_init: Callable = kaiming_init
+
+    @nn.compact
+    def __call__(self, x: Array, offset: Array, scale_h: float,
+                 scale_w: float) -> Array:
+        k = self.kernel_size
+        cin = x.shape[-1]
+        weight = self.param("weight", self.kernel_init,
+                            (k, k, cin, self.out_channels), jnp.float32)
+        return pyramid_deform_conv(x, offset, weight.astype(x.dtype),
+                                   scale_h, scale_w, stride=self.stride,
+                                   padding=self.padding)
+
+
+class DCNConvModule(nn.Module):
+    """DCNv2 + GN + ReLU tower block (`lsnet_head.py:1830-1849`)."""
+    out_channels: int
+    kernel_size: int = 3
+    num_groups: int = 32
+    padding: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        x = ModulatedDeformConvPack(self.out_channels, self.kernel_size,
+                                    padding=self.padding, name="conv")(x)
+        x = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
+                         name="bn")(x)
+        return nn.relu(x)
