@@ -1,0 +1,242 @@
+"""COCO dataset + static-shape batch assembly (host side).
+
+Replaces the reference data layer (`/root/reference/code/mmdet/datasets/
+coco.py`, `coco_pose.py`, `builder.py`) the TPU way: variable image sizes
+become a *static padded canvas* per batch (replacing the aspect-ratio
+GroupSampler with shape bucketing), GT is padded to ``max_instances`` with a
+validity mask, and per-host sharding replaces DistributedGroupSampler.
+
+Annotation parsing is json-direct (no pycocotools dependency): extreme
+points are computed on the fly from segmentation polygons
+(:mod:`lsnet_tpu.data.lsvr`), matching the offline ``gen_coco_lsvr.py``
+output the reference expects (`coco.py:159-183`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .lsvr import extreme_points_with_center, unify_polygon
+from .transforms import (hflip_sample, normalize_image, pad_divisor_shape,
+                         pad_to_shape, resize_sample)
+
+
+@dataclass
+class CocoAnnotations:
+    """Parsed COCO index (images, anns by image, category remap)."""
+    img_infos: List[Dict]
+    anns_by_img: Dict[int, List[Dict]]
+    cat_to_label: Dict[int, int]
+
+    @staticmethod
+    def load(ann_file: str, person_only: bool = False) -> "CocoAnnotations":
+        with open(ann_file) as f:
+            data = json.load(f)
+        cats = sorted(c["id"] for c in data["categories"])
+        if person_only:
+            cats = [c for c in cats if c == 1]
+        cat_to_label = {c: i for i, c in enumerate(cats)}
+        anns_by_img: Dict[int, List[Dict]] = {}
+        for ann in data["annotations"]:
+            if ann.get("iscrowd", 0):
+                continue
+            if person_only and ann["category_id"] != 1:
+                continue
+            anns_by_img.setdefault(ann["image_id"], []).append(ann)
+        img_infos = [im for im in data["images"]]
+        return CocoAnnotations(img_infos, anns_by_img, cat_to_label)
+
+
+@dataclass
+class DatasetConfig:
+    ann_file: str
+    img_prefix: str
+    task: str = "bbox"               # bbox | segm | pose
+    num_vectors: int = 4
+    img_scale: Tuple[int, int] = (1333, 800)
+    flip_ratio: float = 0.5
+    max_instances: int = 100
+    size_divisor: int = 32
+    filter_empty: bool = True
+    min_size: int = 32               # reference `coco.py` _filter_imgs
+
+
+class CocoDataset:
+    """Training/eval dataset producing per-sample dicts (numpy)."""
+
+    def __init__(self, cfg: DatasetConfig, test_mode: bool = False):
+        self.cfg = cfg
+        self.test_mode = test_mode
+        self.coco = CocoAnnotations.load(cfg.ann_file,
+                                         person_only=cfg.task == "pose")
+        self.img_infos = self._filter(self.coco.img_infos)
+
+    def _filter(self, infos: List[Dict]) -> List[Dict]:
+        if self.test_mode or not self.cfg.filter_empty:
+            return infos
+        keep = []
+        for im in infos:
+            anns = self.coco.anns_by_img.get(im["id"], [])
+            if anns and min(im["width"], im["height"]) >= self.cfg.min_size:
+                keep.append(im)
+        return keep
+
+    def __len__(self) -> int:
+        return len(self.img_infos)
+
+    def _load_image(self, info: Dict) -> np.ndarray:
+        path = os.path.join(self.cfg.img_prefix, info["file_name"])
+        try:
+            from PIL import Image
+            with Image.open(path) as im:
+                return np.asarray(im.convert("RGB"))
+        except ImportError:
+            import imageio.v3 as iio  # pragma: no cover
+            return iio.imread(path)
+
+    def get_sample(self, idx: int, rng: Optional[np.random.RandomState] = None
+                   ) -> Dict:
+        info = self.img_infos[idx]
+        anns = self.coco.anns_by_img.get(info["id"], [])
+        img = self._load_image(info)
+        sample: Dict = {"image": img, "img_id": info["id"]}
+
+        bboxes, labels = [], []
+        extremes, polygons, kps = [], [], []
+        for ann in anns:
+            x, y, w, h = ann["bbox"]
+            if w < 1 or h < 1:
+                continue
+            bbox = np.array([x, y, x + w, y + h], np.float32)
+            bboxes.append(bbox)
+            labels.append(self.coco.cat_to_label[ann["category_id"]])
+            if self.cfg.task == "bbox":
+                if "extreme_points" in ann:
+                    extremes.append(np.asarray(ann["extreme_points"],
+                                               np.float32))
+                else:
+                    seg = ann.get("segmentation")
+                    if isinstance(seg, list) and seg:
+                        pts = np.concatenate(
+                            [np.asarray(s).reshape(-1, 2) for s in seg])
+                    else:
+                        pts = np.array([[x, y], [x + w, y], [x + w, y + h],
+                                        [x, y + h]], np.float32)
+                    extremes.append(extreme_points_with_center(pts, bbox))
+            elif self.cfg.task == "segm":
+                seg = ann.get("segmentation")
+                comps = seg if isinstance(seg, list) else []
+                polygons.append(
+                    unify_polygon(comps, bbox,
+                                  num_points=self.cfg.num_vectors).reshape(-1))
+            elif self.cfg.task == "pose":
+                kps.append(np.asarray(ann.get("keypoints",
+                                              [0] * (self.cfg.num_vectors * 3)),
+                                      np.float32))
+
+        n = len(bboxes)
+        sample["gt_bboxes"] = (np.stack(bboxes) if n else
+                               np.zeros((0, 4), np.float32))
+        sample["gt_labels"] = np.asarray(labels, np.int32)
+        if self.cfg.task == "bbox":
+            sample["gt_extremes"] = (np.stack(extremes) if n else
+                                     np.zeros((0, 10), np.float32))
+        elif self.cfg.task == "segm":
+            sample["gt_polygons"] = (np.stack(polygons) if n else
+                                     np.zeros((0, self.cfg.num_vectors * 2),
+                                              np.float32))
+        elif self.cfg.task == "pose":
+            sample["gt_keypoints_vs"] = (np.stack(kps) if n else
+                                         np.zeros((0, self.cfg.num_vectors * 3),
+                                                  np.float32))
+
+        sample = resize_sample(sample, self.cfg.img_scale)
+        if not self.test_mode and rng is not None and rng.rand() < self.cfg.flip_ratio:
+            sample = hflip_sample(sample)
+        sample["image"] = normalize_image(sample["image"])
+        return sample
+
+
+def collate_batch(samples: Sequence[Dict], canvas_hw: Tuple[int, int],
+                  max_instances: int = 100, task: str = "bbox",
+                  num_vectors: int = 4) -> Dict[str, np.ndarray]:
+    """Pad samples onto a static canvas + fixed-M GT arrays with masks."""
+    B = len(samples)
+    H, W = canvas_hw
+    batch: Dict[str, np.ndarray] = {
+        "image": np.zeros((B, H, W, 3), np.float32),
+        "pad_shape": np.zeros((B, 2), np.int32),
+        "img_shape": np.zeros((B, 2), np.int32),
+        "scale_factor": np.zeros((B, 4), np.float32),
+        "gt_bboxes": np.zeros((B, max_instances, 4), np.float32),
+        "gt_labels": np.zeros((B, max_instances), np.int32),
+        "gt_valid": np.zeros((B, max_instances), bool),
+        "img_id": np.zeros((B,), np.int64),
+    }
+    if task == "bbox":
+        batch["gt_extremes"] = np.zeros((B, max_instances, 10), np.float32)
+    elif task == "segm":
+        batch["gt_polygons"] = np.zeros((B, max_instances, num_vectors * 2),
+                                        np.float32)
+    elif task == "pose":
+        batch["gt_keypoints_vs"] = np.zeros(
+            (B, max_instances, num_vectors * 3), np.float32)
+
+    for i, s in enumerate(samples):
+        h, w = s["image"].shape[:2]
+        batch["image"][i] = pad_to_shape(s["image"], canvas_hw)
+        ph, pw = pad_divisor_shape(h, w)
+        batch["pad_shape"][i] = (ph, pw)
+        batch["img_shape"][i] = (h, w)
+        batch["scale_factor"][i] = s.get("scale_factor", np.ones(4, np.float32))
+        batch["img_id"][i] = s.get("img_id", 0)
+        m = min(len(s["gt_bboxes"]), max_instances)
+        if m:
+            batch["gt_bboxes"][i, :m] = s["gt_bboxes"][:m]
+            batch["gt_labels"][i, :m] = s["gt_labels"][:m]
+            batch["gt_valid"][i, :m] = True
+            for key in ("gt_extremes", "gt_polygons", "gt_keypoints_vs"):
+                if key in s and key in batch and len(s[key]):
+                    batch[key][i, :m] = s[key][:m]
+    return batch
+
+
+class DataLoader:
+    """Minimal epoch iterator: shuffled, per-host sharded, static canvas.
+
+    Replaces the reference GroupSampler/DistributedGroupSampler
+    (`code/mmdet/datasets/samplers/group_sampler.py`) — static shapes make
+    aspect-ratio grouping unnecessary.
+    """
+
+    def __init__(self, dataset: CocoDataset, batch_size: int,
+                 canvas_hw: Tuple[int, int], *, seed: int = 0,
+                 num_hosts: int = 1, host_id: int = 0, drop_last: bool = True):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.canvas_hw = canvas_hw
+        self.seed = seed
+        self.num_hosts = num_hosts
+        self.host_id = host_id
+        self.drop_last = drop_last
+
+    def steps_per_epoch(self) -> int:
+        n = len(self.ds) // self.num_hosts
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch_idx: int):
+        rng = np.random.RandomState(self.seed + epoch_idx)
+        order = rng.permutation(len(self.ds))
+        order = order[self.host_id::self.num_hosts]
+        nb = self.steps_per_epoch()
+        for b in range(nb):
+            idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
+            samples = [self.ds.get_sample(int(i), rng) for i in idxs]
+            yield collate_batch(samples, self.canvas_hw,
+                                self.ds.cfg.max_instances, self.ds.cfg.task,
+                                self.ds.cfg.num_vectors)

@@ -1,0 +1,71 @@
+"""Device mesh + sharding helpers.
+
+The reference's distribution story is NCCL data-parallel DDP
+(`/root/reference/code/mmcv/mmcv/parallel/distributed.py`,
+`runner/dist_utils.py:13-60`).  The TPU-native equivalent is a
+``jax.sharding.Mesh`` with a ``data`` axis (batch-sharded) and a ``model``
+axis reserved for intra-image spatial sharding of very large inputs; XLA
+emits all collectives (grad all-reduce rides ICI within a slice, DCN across
+slices) — there is no user-level communication code anywhere in this
+framework.
+
+Multi-host bootstrap (the reference's slurm/mpi/pytorch launchers) maps to
+``jax.distributed.initialize()`` — see :func:`initialize_distributed`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as PS
+
+
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data is None:
+        n_data = len(devices) // n_model
+    assert n_data * n_model <= len(devices), (
+        f"mesh {n_data}x{n_model} needs more than {len(devices)} devices")
+    arr = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, PS("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PS())
+
+
+def shard_batch_pytree(batch, mesh: Mesh):
+    """Device-put a host batch with every leaf sharded on its leading axis."""
+    sh = batch_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+
+
+def initialize_distributed(coordinator: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> None:
+    """Multi-host bootstrap (replaces reference ``init_dist``/launchers).
+
+    On single-host this is a no-op; on multi-host pods JAX picks up the TPU
+    runtime environment automatically when called with no args."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        if coordinator is not None:
+            jax.distributed.initialize(coordinator, num_processes, process_id)
+        elif num_processes is not None:
+            jax.distributed.initialize()
+    except Exception:
+        pass  # single-process fallback
+
+
+def is_main_process() -> bool:
+    """Reference ``master_only`` decorator equivalent."""
+    return jax.process_index() == 0
