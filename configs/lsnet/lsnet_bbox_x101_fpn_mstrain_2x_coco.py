@@ -1,0 +1,8 @@
+_base_ = './lsnet_bbox_r50_fpn_mstrain_2x_coco.py'
+model = dict(
+    pretrained='checkpoints/pretrained/resnext101_64x4d.pth',
+    backbone=dict(type='ResNeXt', depth=101, groups=64, base_width=4,
+                  num_stages=4, out_indices=(0, 1, 2, 3), frozen_stages=1,
+                  norm_cfg=dict(type='BN'), norm_eval=True, style='pytorch',
+                  _delete_=True),
+    neck=dict(in_channels=[256, 512, 1024, 2048]))

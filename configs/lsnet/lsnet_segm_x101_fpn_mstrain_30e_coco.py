@@ -1,0 +1,9 @@
+_base_ = './lsnet_segm_r50_fpn_mstrain_2x_coco.py'
+model = dict(
+    pretrained='checkpoints/pretrained/resnext101_64x4d.pth',
+    backbone=dict(type='ResNeXt', depth=101, groups=64, base_width=4,
+                  num_stages=4, out_indices=(0, 1, 2, 3), frozen_stages=1,
+                  norm_cfg=dict(type='BN'), norm_eval=True, style='pytorch',
+                  _delete_=True))
+lr_config = dict(step=[28, 30])
+total_epochs = 32

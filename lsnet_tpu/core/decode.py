@@ -40,6 +40,9 @@ class TestConfig:
     max_per_img: int = 100
 
 
+TestConfig.__test__ = False  # not a pytest class
+
+
 class Detections(NamedTuple):
     bboxes: Array      # (B, max_per_img, 4) — image-coordinate x1y1x2y2
     scores: Array      # (B, max_per_img)

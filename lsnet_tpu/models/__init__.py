@@ -20,6 +20,7 @@ DETECTORS = Registry("detector")
 from .backbones.resnet import ResNet  # noqa: E402
 from .necks.fpn import FPN  # noqa: E402
 from .heads.ls_head import LSHead  # noqa: E402
+from .heads.lscpv_head import LSCPVHead  # noqa: E402
 from .detectors.lsnet import LSDetector  # noqa: E402
 
 
@@ -64,8 +65,13 @@ def build_head(cfg: Dict[str, Any]):
     if norm_cfg is not None:
         cfg["norm_groups"] = norm_cfg.get("num_groups", 32)
     if kind == "LSHead":
-        head = LSHead(**cfg)
-        return head, loss_cfgs
+        return LSHead(**cfg), loss_cfgs
+    if kind == "LSCPVHead":
+        cfg.pop("use_grid_points", None)
+        cfg.pop("center_init", None)
+        if "num_points" in cfg:
+            cfg["num_kernel_points"] = cfg.pop("num_points")
+        return LSCPVHead(**cfg), loss_cfgs
     raise KeyError(f"unknown head {kind}")
 
 

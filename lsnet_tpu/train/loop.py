@@ -1,0 +1,204 @@
+"""Training orchestration — the runner.
+
+Equivalent of the reference `train_detector` + ``EpochBasedRunner`` + hooks
+(`/root/reference/code/mmdet/apis/train.py:33`, `mmcv/runner/
+epoch_based_runner.py:14-76`): epoch loop, LR schedule (inside the jitted
+step), 50-iter json/console logging, per-epoch orbax checkpoint, per-epoch
+COCO eval, ``--resume-from``.  The per-iteration work is one jitted
+mesh-sharded function (see :mod:`lsnet_tpu.train.step`).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.decode import TestConfig, lsnet_decode
+from ..core.loss import LossConfig
+from ..data.coco import CocoDataset, DataLoader, DatasetConfig, collate_batch
+from ..evalkit.evaluator import (coco_gt_from_annotations, detections_to_coco,
+                                 evaluate_coco)
+from ..models import build_detector
+from ..models.backbones.resnet import frozen_param_paths
+from ..parallel.mesh import make_mesh, shard_batch_pytree
+from ..utils.logging import JsonLogger, collect_env
+from .checkpoint import (latest_checkpoint, load_pretrained_backbone,
+                         restore_checkpoint, save_checkpoint)
+from .optim import build_optimizer, make_frozen_mask
+from .step import create_train_state, make_eval_forward, make_train_step
+
+
+def loss_cfg_from(cfg, image_shape) -> LossConfig:
+    head = cfg.model.bbox_head
+    tc = cfg.train_cfg
+    return LossConfig(
+        image_shape=image_shape,
+        num_classes=head.num_classes,
+        task=head.task,
+        num_vectors=head.num_vectors,
+        point_strides=tuple(head.get("point_strides", (8, 16, 32, 64, 128))),
+        point_base_scale=head.get("point_base_scale", 4),
+        init_scale=tc.init.assigner.get("scale", 4),
+        init_pos_num=tc.init.assigner.get("pos_num", 1),
+        init_iou_type=tc.init.assigner.get("iou_type", "center"),
+        refine_topk=tc.refine.assigner.get("topk", 9),
+        cls_loss_weight=head.get("loss_cls", {}).get("loss_weight", 1.0),
+        init_loss_weight=head.get("loss_bbox_init",
+                                  head.get("loss_segm_init", {})
+                                  ).get("loss_weight", 1.0),
+        refine_loss_weight=head.get("loss_bbox_refine",
+                                    head.get("loss_segm_refine", {})
+                                    ).get("loss_weight", 2.0),
+        pose_init_loss_weight=head.get("loss_pose_init", {}
+                                       ).get("loss_weight", 1.0),
+        pose_refine_loss_weight=head.get("loss_pose_refine", {}
+                                         ).get("loss_weight", 2.0),
+    )
+
+
+def test_cfg_from(cfg, image_shape) -> TestConfig:
+    head = cfg.model.bbox_head
+    tc = cfg.test_cfg
+    return TestConfig(
+        image_shape=image_shape,
+        num_classes=head.num_classes,
+        task=head.task,
+        num_vectors=head.num_vectors,
+        point_strides=tuple(head.get("point_strides", (8, 16, 32, 64, 128))),
+        nms_pre=tc.get("nms_pre", 1000),
+        score_thr=tc.get("score_thr", 0.05),
+        nms_iou=tc.get("nms", {}).get("iou_thr", 0.6),
+        max_per_img=tc.get("max_per_img", 100),
+    )
+
+
+def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
+                   max_iters_per_epoch: Optional[int] = None,
+                   resume_from: Optional[str] = None,
+                   eval_interval: int = 1) -> Dict[str, Any]:
+    """Full training run from a Config. Returns final state + metrics."""
+    os.makedirs(work_dir, exist_ok=True)
+    logger = JsonLogger(work_dir, interval=cfg.get("log_interval", 50))
+    print("environment:", dict(collect_env()), flush=True)
+
+    head = cfg.model.bbox_head
+    task = {"bbox": "bbox", "segm": "segm",
+            "pose_bbox": "pose", "pose_kbox": "pose"}[head.task]
+    canvas = tuple(cfg.get("canvas_shape", (800, 1344)))
+    data_cfg = cfg.data
+    ds = CocoDataset(DatasetConfig(
+        ann_file=data_cfg.train.ann_file,
+        img_prefix=data_cfg.train.img_prefix,
+        task=task, num_vectors=head.num_vectors,
+        img_scale=tuple(data_cfg.train.get("img_scale", (1333, 800))),
+        max_instances=cfg.get("max_instances", 100)))
+    n_dev = jax.device_count()
+    per_dev = data_cfg.get("samples_per_gpu", 2)
+    batch_size = per_dev * n_dev
+    loader = DataLoader(ds, batch_size, canvas,
+                        num_hosts=jax.process_count(),
+                        host_id=jax.process_index())
+    steps_per_epoch = (max_iters_per_epoch
+                       or loader.steps_per_epoch())
+
+    model, _ = build_detector(cfg.model.to_dict()
+                              if hasattr(cfg.model, "to_dict")
+                              else dict(cfg.model))
+    dummy = jnp.zeros((1, *canvas, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(cfg.get("seed", 0)), dummy)
+    pretrained = cfg.model.get("pretrained")
+    if pretrained and os.path.exists(str(pretrained)):
+        variables = load_pretrained_backbone(variables, str(pretrained))
+
+    depth = cfg.model.backbone.get("depth", 50)
+    frozen = cfg.model.backbone.get("frozen_stages", -1)
+    mask = make_frozen_mask(variables["params"],
+                            frozen_param_paths(depth, frozen))
+    epochs = total_epochs or cfg.get("total_epochs", 12)
+    decay = cfg.get("lr_config", {}).get("step", [8, 11])
+    tx, schedule = build_optimizer(
+        cfg.optimizer.get("lr", 0.01), steps_per_epoch, decay,
+        momentum=cfg.optimizer.get("momentum", 0.9),
+        weight_decay=cfg.optimizer.get("weight_decay", 1e-4),
+        clip_norm=cfg.get("optimizer_config", {}).get(
+            "grad_clip", {}).get("max_norm", 35.0),
+        trainable_mask=mask)
+    state = create_train_state(variables, tx)
+
+    start_epoch = 0
+    if resume_from:
+        state = restore_checkpoint(resume_from, state)
+        start_epoch = int(state.step) // steps_per_epoch
+        print(f"resumed from {resume_from} at epoch {start_epoch}")
+
+    mesh = make_mesh(n_data=n_dev)
+    lcfg = loss_cfg_from(cfg, canvas)
+    step_fn = make_train_step(model, tx, lcfg, mesh=mesh)
+
+    with mesh:
+        for epoch in range(start_epoch, epochs):
+            for it, batch in enumerate(loader.epoch(epoch)):
+                if max_iters_per_epoch and it >= max_iters_per_epoch:
+                    break
+                sharded = shard_batch_pytree(batch, mesh)
+                state, metrics = step_fn(state, sharded)
+                lr = float(schedule(int(state.step)))
+                logger.log_iter(epoch + 1, it, steps_per_epoch, lr,
+                                {k: float(v) for k, v in metrics.items()})
+            ckpt = save_checkpoint(os.path.join(work_dir, "ckpts"), state,
+                                   int(state.step))
+            print(f"epoch {epoch + 1}: checkpoint -> {ckpt}", flush=True)
+            if (epoch + 1) % eval_interval == 0 and "val" in cfg.data:
+                metrics = evaluate_detector(cfg, model, state, canvas,
+                                            max_images=cfg.get(
+                                                "eval_max_images"))
+                logger.log_eval(epoch + 1, metrics)
+    return {"state": state, "work_dir": work_dir}
+
+
+def evaluate_detector(cfg, model, state, canvas, *, batch_size: int = 8,
+                      max_images: Optional[int] = None) -> Dict[str, float]:
+    """Reference EvalHook equivalent: run val set, COCO metrics."""
+    head = cfg.model.bbox_head
+    task = {"bbox": "bbox", "segm": "segm",
+            "pose_bbox": "pose", "pose_kbox": "pose"}[head.task]
+    ds = CocoDataset(DatasetConfig(
+        ann_file=cfg.data.val.ann_file, img_prefix=cfg.data.val.img_prefix,
+        task=task, num_vectors=head.num_vectors, filter_empty=False,
+        img_scale=tuple(cfg.data.val.get("img_scale", (1333, 800)))),
+        test_mode=True)
+    tcfg = test_cfg_from(cfg, canvas)
+    fwd = make_eval_forward(model)
+    decode = jax.jit(lambda outs, shapes, sf: lsnet_decode(
+        outs, shapes, sf, tcfg))
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    n = len(ds) if max_images is None else min(max_images, len(ds))
+    dts = []
+    img_sizes = {info["id"]: (info["height"], info["width"])
+                 for info in ds.coco.img_infos}
+    label_to_cat = {v: k for k, v in ds.coco.cat_to_label.items()}
+    for s0 in range(0, n, batch_size):
+        idxs = range(s0, min(s0 + batch_size, n))
+        samples = [ds.get_sample(i) for i in idxs]
+        batch = collate_batch(samples, canvas, task=task,
+                              num_vectors=head.num_vectors)
+        outs = fwd(variables, jnp.asarray(batch["image"]))
+        det = decode(outs, jnp.asarray(batch["img_shape"]),
+                     jnp.asarray(batch["scale_factor"]))
+        dts += detections_to_coco(
+            jax.tree.map(np.asarray, det), batch["img_id"], label_to_cat,
+            task=head.task, img_sizes=img_sizes)
+    gts = coco_gt_from_annotations(ds.coco, task=head.task)
+    eval_ids = {int(i) for i in
+                [info["id"] for info in ds.img_infos[:n]]}
+    gts = [g for g in gts if g["image_id"] in eval_ids]
+    dts = [d for d in dts if d["image_id"] in eval_ids]
+    iou_type = {"bbox": "bbox", "segm": "segm", "pose_bbox": "keypoints",
+                "pose_kbox": "keypoints"}[head.task]
+    return evaluate_coco(gts, dts, img_sizes, iou_type=iou_type)

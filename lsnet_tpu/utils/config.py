@@ -48,6 +48,15 @@ class ConfigDict(dict):
     def get(self, key: str, default: Any = None) -> Any:
         return super().get(key, default)
 
+    def to_dict(self) -> dict:
+        def plain(v):
+            if isinstance(v, dict):
+                return {k: plain(x) for k, x in v.items()}
+            if isinstance(v, (list, tuple)):
+                return type(v)(plain(x) for x in v)
+            return v
+        return plain(dict(self))
+
 
 def _to_config_dict(obj: Any) -> Any:
     if isinstance(obj, dict) and not isinstance(obj, ConfigDict):
