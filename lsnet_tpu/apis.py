@@ -1,0 +1,112 @@
+"""High-level python API — the reference ``mmdet.apis`` surface.
+
+Equivalents of `/root/reference/code/mmdet/apis/`:
+* :func:`init_detector`    (`inference.py:15`) — config + checkpoint -> ready
+  model bundle with a jitted forward;
+* :func:`inference_detector` (`inference.py:76`) — one image in, packed
+  detections out (resize/normalize/pad + forward + decode + rescale);
+* :func:`show_result`      — task-aware visualization;
+* :func:`train_detector` / :func:`single_host_test` re-exported from
+  :mod:`lsnet_tpu.train.loop`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .core.decode import Detections, lsnet_decode
+from .core.cpv import lscpv_decode
+from .data.transforms import (normalize_image, pad_divisor_shape,
+                              pad_to_shape, rescale_size, resize_image)
+from .models import build_detector
+from .train.loop import evaluate_detector, test_cfg_from, train_detector  # noqa: F401
+from .utils.config import Config
+
+
+@dataclass
+class DetectorBundle:
+    model: Any
+    variables: Dict
+    cfg: Config
+    canvas: Tuple[int, int]
+    fwd: Any
+    decode: Any
+
+
+def init_detector(config: Union[str, Config],
+                  checkpoint: Optional[str] = None,
+                  canvas: Optional[Tuple[int, int]] = None) -> DetectorBundle:
+    cfg = Config.fromfile(config) if isinstance(config, str) else config
+    canvas = tuple(canvas or cfg.get("canvas_shape", (800, 1344)))
+    model, _ = build_detector(cfg.model.to_dict())
+    dummy = jnp.zeros((1, *canvas, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), dummy)
+    if checkpoint:
+        from .train.checkpoint import restore_checkpoint
+        from .train.optim import build_optimizer
+        from .train.step import create_train_state
+        tx, _ = build_optimizer(0.01, 1000, [8, 11])
+        state = restore_checkpoint(checkpoint,
+                                   create_train_state(variables, tx))
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+    tcfg = test_cfg_from(cfg, canvas)
+    decode_fn = (lscpv_decode
+                 if cfg.model.type == "LSCPVDetector" else lsnet_decode)
+
+    @jax.jit
+    def fwd(variables, images, img_shapes, scale_factors):
+        outs = model.apply(variables, images)
+        return decode_fn(outs, img_shapes, scale_factors, tcfg)
+
+    return DetectorBundle(model, variables, cfg, canvas, fwd, decode_fn)
+
+
+def inference_detector(bundle: DetectorBundle,
+                       img: Union[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Run one image through the test pipeline + model + decode."""
+    if isinstance(img, str):
+        from PIL import Image
+        with Image.open(img) as im:
+            img = np.asarray(im.convert("RGB"))
+    H, W = img.shape[:2]
+    scale = tuple(bundle.cfg.data.test.get("img_scale", (1333, 800))
+                  ) if "data" in bundle.cfg else (1333, 800)
+    nh, nw = rescale_size(H, W, scale)
+    resized = resize_image(img, (nh, nw))
+    sf = np.array([nw / W, nh / H, nw / W, nh / H], np.float32)
+    norm = normalize_image(resized)
+    canvas_img = pad_to_shape(norm, bundle.canvas)
+    det = bundle.fwd(bundle.variables, jnp.asarray(canvas_img[None]),
+                     jnp.asarray([[nh, nw]], jnp.int32),
+                     jnp.asarray(sf[None]))
+    det = jax.tree.map(np.asarray, det)
+    valid = det.valid[0]
+    return {
+        "bboxes": det.bboxes[0][valid],
+        "scores": det.scores[0][valid],
+        "labels": det.labels[0][valid],
+        "landmarks": det.landmarks[0][valid],
+    }
+
+
+def show_result(img: np.ndarray, result: Dict[str, np.ndarray], task: str,
+                score_thr: float = 0.3,
+                out_file: Optional[str] = None) -> np.ndarray:
+    from .utils.visualize import (imshow_extremes, imshow_polygons,
+                                  imshow_pose)
+    if task == "bbox":
+        return imshow_extremes(img, result["bboxes"], result["landmarks"],
+                               result["labels"], result["scores"],
+                               score_thr, out_file=out_file)
+    if task == "segm":
+        return imshow_polygons(img, result["bboxes"], result["landmarks"],
+                               result["labels"], result["scores"],
+                               score_thr, out_file=out_file)
+    return imshow_pose(img, result["bboxes"], result["landmarks"],
+                       result["scores"], score_thr, out_file=out_file)

@@ -250,6 +250,12 @@ def iou(dt: Sequence[Union[RLE, np.ndarray]], gt: Sequence[Union[RLE, np.ndarray
                 union = ad if iscrowd[g] else ad + wg * hg - inter
                 out[d, g] = inter / union if union > 0 else 0.0
         return out
+    try:  # native C++ kernel (lsnet_tpu/evalkit/native) — big D*G speedup
+        from .native_rle import native_available, rle_iou_native
+        if native_available():
+            return rle_iou_native(dt, gt, iscrowd)
+    except Exception:
+        pass
     for d in range(D):
         ad = area(dt[d])
         for g in range(G):

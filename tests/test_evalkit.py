@@ -116,3 +116,20 @@ def test_cocoeval_keypoints_oks():
                    EvalParams.for_keypoints()).evaluate()
     s2 = ev2.summarize()
     assert s2[0] <= stats[0]
+
+
+def test_native_rle_matches_numpy():
+    from lsnet_tpu.evalkit.native_rle import native_available, rle_iou_native
+    if not native_available():
+        import pytest
+        pytest.skip("no g++ available")
+    rng = np.random.RandomState(3)
+    masks = [rng.rand(30, 25) > 0.5 for _ in range(5)]
+    rles = [M.encode_mask(m) for m in masks]
+    got = rle_iou_native(rles[:2], rles[2:], [0, 0, 1])
+    for i in range(2):
+        for j in range(3):
+            inter = (masks[i] & masks[2 + j]).sum()
+            a, b = masks[i].sum(), masks[2 + j].sum()
+            uni = a if j == 2 else a + b - inter
+            assert np.isclose(got[i, j], inter / uni)
