@@ -79,6 +79,49 @@ def bilinear_gather(feat: Array, ys: Array, xs: Array) -> Array:
     return out
 
 
+def bilinear_gather_2x2(feat: Array, ys: Array, xs: Array) -> Array:
+    """Zero-padded bilinear sampling via a single 2x2-slice gather.
+
+    Numerically identical to :func:`bilinear_gather` but issues ONE XLA
+    gather with slice_sizes (2, 2, C) per sample instead of four
+    single-row gathers — 4x fewer gather descriptors, much better DMA
+    efficiency on TPU.
+    """
+    B, H, W, C = feat.shape
+    P = ys.shape[1]
+    cdt = feat.dtype
+
+    ys = ys.astype(jnp.float32)
+    xs = xs.astype(jnp.float32)
+    y0c = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 2)
+    x0c = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 2)
+
+    def gather_one(feat_b, y0c_b, x0c_b):
+        starts = jnp.stack([y0c_b, x0c_b], axis=-1)           # (P, 2)
+        return jax.lax.gather(
+            feat_b, starts,
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1, 2, 3),
+                collapsed_slice_dims=(),
+                start_index_map=(0, 1)),
+            slice_sizes=(2, 2, C),
+            mode=jax.lax.GatherScatterMode.CLIP)              # (P,2,2,C)
+
+    patch = jax.vmap(gather_one)(feat, y0c, x0c)              # (B,P,2,2,C)
+
+    # patch cell (a, b) holds absolute pixel (y0c+a, x0c+b); its bilinear
+    # weight is the tent max(0, 1-|y-row|) * max(0, 1-|x-col|) — exactly
+    # the zero-padded bilinear weights (cells the sample doesn't touch and
+    # fully-outside samples get weight 0 automatically)
+    out = jnp.zeros((B, P, C), cdt)
+    for a in (0, 1):
+        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys - (y0c + a)))     # f32
+        for b in (0, 1):
+            wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - (x0c + b)))
+            out = out + patch[:, :, a, b] * (wy * wx).astype(cdt)[..., None]
+    return out
+
+
 def _tap_grid(kh: int, kw: int, dil_h: int, dil_w: int, dtype) -> Tuple[Array, Array]:
     """Per-tap (dy, dx) base displacements, flattened row-major like the ref."""
     dy = jnp.arange(kh, dtype=dtype) * dil_h
@@ -110,7 +153,9 @@ def _sample_patches(x: Array, offset: Array, kernel_size: Tuple[int, int],
     K = kh * kw
     sh, sw = stride
     ph, pw = padding
-    cdt = x.dtype
+    # sampling coordinates always in f32: bf16 cannot represent sub-pixel
+    # positions beyond ~128 px
+    cdt = jnp.float32
 
     off = offset.reshape(B, Ho, Wo, K, 2)
     off_y = off[..., 0].astype(cdt)
@@ -129,7 +174,7 @@ def _sample_patches(x: Array, offset: Array, kernel_size: Tuple[int, int],
     ys = (base_y + off_y).reshape(B, Ho * Wo * K)
     xs = (base_x + off_x).reshape(B, Ho * Wo * K)
 
-    patches = bilinear_gather(x, ys, xs)                              # (B,P,C)
+    patches = bilinear_gather_2x2(x, ys, xs)                          # (B,P,C)
     return patches.reshape(B, Ho, Wo, K, C)
 
 

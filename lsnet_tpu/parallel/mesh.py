@@ -69,3 +69,30 @@ def initialize_distributed(coordinator: Optional[str] = None,
 def is_main_process() -> bool:
     """Reference ``master_only`` decorator equivalent."""
     return jax.process_index() == 0
+
+
+def collect_results(local_results: list) -> list:
+    """Gather per-host python result lists onto every host.
+
+    Replaces the reference rank-0 tmpdir-pickle / CUDA-bytes gather
+    (`code/mmdet/apis/test.py:135-207`) with an XLA all-gather of pickled
+    bytes over the mesh.  Single-process: identity.
+    """
+    if jax.process_count() == 1:
+        return list(local_results)
+    import pickle
+
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    payload = np.frombuffer(pickle.dumps(local_results), np.uint8)
+    n = np.array([payload.size], np.int64)
+    sizes = multihost_utils.process_allgather(n)
+    max_len = int(sizes.max())
+    padded = np.zeros(max_len, np.uint8)
+    padded[: payload.size] = payload
+    gathered = multihost_utils.process_allgather(padded)
+    out = []
+    for i in range(jax.process_count()):
+        out.extend(pickle.loads(gathered[i, : int(sizes[i, 0])].tobytes()))
+    return out
