@@ -88,6 +88,13 @@ def bilinear_gather_2x2(feat: Array, ys: Array, xs: Array) -> Array:
     efficiency on TPU.
     """
     B, H, W, C = feat.shape
+    if H < 2 or W < 2:
+        # tiny maps (1-wide FPN levels at small test sizes): zero-pad so a
+        # 2x2 slice exists; coordinates are unchanged (pad is at the high
+        # edge and carries the zero-padding semantics anyway)
+        feat = jnp.pad(feat, ((0, 0), (0, max(0, 2 - H)),
+                              (0, max(0, 2 - W)), (0, 0)))
+        H, W = max(H, 2), max(W, 2)
     P = ys.shape[1]
     cdt = feat.dtype
 
