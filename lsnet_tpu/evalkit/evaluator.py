@@ -34,6 +34,12 @@ def detections_to_coco(det, img_ids: Sequence[int],
     labels = np.asarray(det.labels)
     lms = np.asarray(det.landmarks)
     valid = np.asarray(det.valid)
+    if task in ("pose_bbox", "pose_kbox"):
+        # reference simple_test drops tiny pose detections
+        # (`detectors/lsnet.py:85-92`: area must exceed 1024)
+        areas = ((bboxes[..., 2] - bboxes[..., 0])
+                 * (bboxes[..., 3] - bboxes[..., 1]))
+        valid = valid & (areas > 1024.0)
     B = bboxes.shape[0]
     for b in range(B):
         img_id = int(img_ids[b])
