@@ -93,56 +93,6 @@ def bilinear_gather(feat: Array, ys: Array, xs: Array) -> Array:
     return vals[0] + vals[1] + vals[2] + vals[3]
 
 
-def bilinear_gather_2x2(feat: Array, ys: Array, xs: Array) -> Array:
-    """Zero-padded bilinear sampling via a single 2x2-slice gather.
-
-    Numerically identical to :func:`bilinear_gather` but issues ONE XLA
-    gather with slice_sizes (2, 2, C) per sample instead of four
-    single-row gathers — 4x fewer gather descriptors, much better DMA
-    efficiency on TPU.
-    """
-    B, H, W, C = feat.shape
-    if H < 2 or W < 2:
-        # tiny maps (1-wide FPN levels at small test sizes): zero-pad so a
-        # 2x2 slice exists; coordinates are unchanged (pad is at the high
-        # edge and carries the zero-padding semantics anyway)
-        feat = jnp.pad(feat, ((0, 0), (0, max(0, 2 - H)),
-                              (0, max(0, 2 - W)), (0, 0)))
-        H, W = max(H, 2), max(W, 2)
-    P = ys.shape[1]
-    cdt = feat.dtype
-
-    ys = ys.astype(jnp.float32)
-    xs = xs.astype(jnp.float32)
-    y0c = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 2)
-    x0c = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 2)
-
-    def gather_one(feat_b, y0c_b, x0c_b):
-        starts = jnp.stack([y0c_b, x0c_b], axis=-1)           # (P, 2)
-        return jax.lax.gather(
-            feat_b, starts,
-            jax.lax.GatherDimensionNumbers(
-                offset_dims=(1, 2, 3),
-                collapsed_slice_dims=(),
-                start_index_map=(0, 1)),
-            slice_sizes=(2, 2, C),
-            mode=jax.lax.GatherScatterMode.CLIP)              # (P,2,2,C)
-
-    patch = jax.vmap(gather_one)(feat, y0c, x0c)              # (B,P,2,2,C)
-
-    # patch cell (a, b) holds absolute pixel (y0c+a, x0c+b); its bilinear
-    # weight is the tent max(0, 1-|y-row|) * max(0, 1-|x-col|) — exactly
-    # the zero-padded bilinear weights (cells the sample doesn't touch and
-    # fully-outside samples get weight 0 automatically)
-    out = jnp.zeros((B, P, C), cdt)
-    for a in (0, 1):
-        wy = jnp.maximum(0.0, 1.0 - jnp.abs(ys - (y0c + a)))     # f32
-        for b in (0, 1):
-            wx = jnp.maximum(0.0, 1.0 - jnp.abs(xs - (x0c + b)))
-            out = out + patch[:, :, a, b] * (wy * wx).astype(cdt)[..., None]
-    return out
-
-
 def _tap_grid(kh: int, kw: int, dil_h: int, dil_w: int, dtype) -> Tuple[Array, Array]:
     """Per-tap (dy, dx) base displacements, flattened row-major like the ref."""
     dy = jnp.arange(kh, dtype=dtype) * dil_h
