@@ -36,6 +36,34 @@ from ..layers import (ConvModule, DCNConvModule, PyramidDeformConv,
 Array = jax.Array
 
 
+def branch_pyramid_jobs(feats, dcn_offs, dcn_kernel: int,
+                        offset_scale_compat: bool):
+    """All cross-level sampling jobs of a refine branch, in (out_lvl, src)
+    order — 3 jobs per output level (`lsnet_head.py:603-613`), with the
+    reference's in-place offset-scale compounding (:628-633) when
+    ``offset_scale_compat``."""
+    from ...ops.flat_deform import SampleJob
+    num_levels = len(feats)
+    pad = (dcn_kernel - 1) // 2
+    jobs = []
+    for lvl in range(num_levels):
+        base_h, base_w = feats[lvl].shape[1:3]
+        off = dcn_offs[lvl]
+        for level in LSHead._level_list(lvl, num_levels):
+            cur_h, cur_w = feats[level].shape[1:3]
+            scale_h = cur_h / base_h
+            scale_w = cur_w / base_w
+            src = off if offset_scale_compat else dcn_offs[lvl]
+            o2 = src.reshape(*src.shape[:-1], -1, 2)
+            scaled = (o2 * jnp.asarray([scale_h, scale_w], src.dtype)
+                      ).reshape(src.shape)
+            if offset_scale_compat:
+                off = scaled
+            jobs.append(SampleJob(level, scaled, None, (scale_h, scale_w),
+                                  (1, 1), (pad, pad), (1, 1)))
+    return jobs
+
+
 def dcn_base_offset(kernel: int) -> np.ndarray:
     """(1,1,1,2K) base tap displacements [y,x] (ref :55-59)."""
     pad = (kernel - 1) // 2
@@ -268,30 +296,13 @@ class LSHead(nn.Module):
             return [lvl, lvl - 1, lvl - 2]
         return [lvl, lvl - 1, lvl + 1]
 
-    def _refine_gather(self, feats, offsets, lvl: int, pdc: PyramidDeformConv
-                       ) -> List[Array]:
-        """Three cross-level gathers with (compat) offset scaling."""
-        num_levels = len(feats)
-        base_h, base_w = feats[lvl].shape[1:3]
-        raws = []
-        off = offsets
-        for level in self._level_list(lvl, num_levels):
-            cur_h, cur_w = feats[level].shape[1:3]
-            scale_h = cur_h / base_h
-            scale_w = cur_w / base_w
-            if self.offset_scale_compat:
-                # reference mutates the offset in place through views, so
-                # scales compound across iterations (:628-633)
-                oy = off[..., 0::2] * scale_h
-                ox = off[..., 1::2] * scale_w
-                off = jnp.stack([oy, ox], axis=-1).reshape(off.shape)
-                off_use = off
-            else:
-                oy = offsets[..., 0::2] * scale_h
-                ox = offsets[..., 1::2] * scale_w
-                off_use = jnp.stack([oy, ox], axis=-1).reshape(offsets.shape)
-            raws.append(pdc(feats[level], off_use, scale_h, scale_w))
-        return raws
+    def _refine_gather_all(self, feats, dcn_offs, pdc) -> List[List[Array]]:
+        """One flat gather+matmul for the whole branch; regroup 3 raws per
+        output level."""
+        jobs = branch_pyramid_jobs(feats, dcn_offs, self.dcn_kernel,
+                                   self.offset_scale_compat)
+        raws = pdc(list(feats), jobs)
+        return [raws[3 * lvl:3 * lvl + 3] for lvl in range(len(feats))]
 
     def _fuse(self, raws: List[Array], skip_feat: Array, af_conv, feat_conv,
               gn, out_conv) -> Array:
@@ -315,87 +326,77 @@ class LSHead(nn.Module):
             outs["pose_init"] = []
             outs["pose_refine"] = []
 
-        # stage 1 per level
-        cls_feats, task_feats = [], {}
-        init_sps, dcn_offs = {}, {}
-        for key in ("bbox", "segm", "pose"):
-            task_feats[key] = []
-            init_sps[key] = []
-            dcn_offs[key] = []
-        for x in feats:
-            cf = x
-            for blk in self.cls_tower:
-                cf = blk(cf)
-            cls_feats.append(cf)
-            if task in ("bbox", "pose_bbox"):
-                bf = x
-                for blk in self.bbox_tower:
-                    bf = blk(bf)
-                sp, off = self._init_branch(bf, self.pts_bbox_init_conv,
-                                            self.pts_bbox_init_out, 20)
-                task_feats["bbox"].append(bf)
-                init_sps["bbox"].append(sp)
-                dcn_offs["bbox"].append(off)
-            if task == "segm":
-                sf = x
-                for blk in self.segm_tower:
-                    sf = blk(sf)
-                sp, off = self._init_branch(sf, self.pts_segm_init_conv,
-                                            self.pts_segm_init_out, None)
-                task_feats["segm"].append(sf)
-                init_sps["segm"].append(sp)
-                dcn_offs["segm"].append(off)
-            if task in ("pose_bbox", "pose_kbox"):
-                pf = x
-                for blk in self.pose_tower:
-                    pf = blk(pf)
-                sp, off = self._init_branch(pf, self.pts_pose_init_conv,
-                                            self.pts_pose_init_out, None)
-                task_feats["pose"].append(pf)
-                init_sps["pose"].append(sp)
-                dcn_offs["pose"].append(off)
+        # stage 1 — towers run level-batched (DCN towers: one flat gather
+        # per block); init heads per level
+        def run_tower(tower, xs):
+            cur = list(xs)
+            for blk in tower:
+                if isinstance(blk, DCNConvModule):
+                    cur = blk(cur)
+                else:
+                    cur = [blk(f) for f in cur]
+            return cur
 
-        # stage 2 per level
+        task_feats, init_sps, dcn_offs = {}, {}, {}
+        cls_feats = run_tower(self.cls_tower, feats)
+        if task in ("bbox", "pose_bbox"):
+            task_feats["bbox"] = run_tower(self.bbox_tower, feats)
+            pairs = [self._init_branch(bf, self.pts_bbox_init_conv,
+                                       self.pts_bbox_init_out, 20)
+                     for bf in task_feats["bbox"]]
+            init_sps["bbox"] = [p[0] for p in pairs]
+            dcn_offs["bbox"] = [p[1] for p in pairs]
+        if task == "segm":
+            task_feats["segm"] = run_tower(self.segm_tower, feats)
+            pairs = [self._init_branch(sf, self.pts_segm_init_conv,
+                                       self.pts_segm_init_out, None)
+                     for sf in task_feats["segm"]]
+            init_sps["segm"] = [p[0] for p in pairs]
+            dcn_offs["segm"] = [p[1] for p in pairs]
+        if task in ("pose_bbox", "pose_kbox"):
+            task_feats["pose"] = run_tower(self.pose_tower, feats)
+            pairs = [self._init_branch(pf, self.pts_pose_init_conv,
+                                       self.pts_pose_init_out, None)
+                     for pf in task_feats["pose"]]
+            init_sps["pose"] = [p[0] for p in pairs]
+            dcn_offs["pose"] = [p[1] for p in pairs]
+
+        # stage 2 — one flat gather+matmul per branch, then per-level fuse
         cls_offset_key = {"bbox": "bbox", "segm": "segm",
                           "pose_bbox": "pose", "pose_kbox": "pose"}[task]
+
+        def refine_branch(key, pdc, af_conv, feat_conv, gn, out_conv,
+                          out_init_key, out_refine_key):
+            raws_per_lvl = self._refine_gather_all(task_feats[key],
+                                                   dcn_offs[key], pdc)
+            for lvl in range(num_levels):
+                out = self._fuse(raws_per_lvl[lvl], task_feats[key][lvl],
+                                 af_conv, feat_conv, gn, out_conv)
+                refine_sp = jax.nn.softplus(
+                    out + jax.lax.stop_gradient(init_sps[key][lvl]))
+                outs[out_init_key].append(init_sps[key][lvl])
+                outs[out_refine_key].append(refine_sp)
+
+        if task in ("bbox", "pose_bbox"):
+            refine_branch("bbox", self.pts_bbox_refine_conv,
+                          self.bbox_af_dcn_conv, self.bbox_feat_conv,
+                          self.bbox_gn, self.pts_bbox_refine_out,
+                          "bbox_init", "bbox_refine")
+        if task == "segm":
+            refine_branch("segm", self.pts_segm_refine_conv,
+                          self.segm_af_dcn_conv, self.segm_feat_conv,
+                          self.segm_gn, self.pts_segm_refine_out,
+                          "segm_init", "segm_refine")
+        if task in ("pose_bbox", "pose_kbox"):
+            refine_branch("pose", self.pts_pose_refine_conv,
+                          self.pose_af_dcn_conv, self.pose_feat_conv,
+                          self.pose_gn, self.pts_pose_refine_out,
+                          "pose_init", "pose_refine")
+
+        cls_raws_per_lvl = self._refine_gather_all(
+            cls_feats, dcn_offs[cls_offset_key], self.pts_cls_conv)
         for lvl in range(num_levels):
-            if task in ("bbox", "pose_bbox"):
-                raws = self._refine_gather(task_feats["bbox"],
-                                           dcn_offs["bbox"][lvl], lvl,
-                                           self.pts_bbox_refine_conv)
-                out = self._fuse(raws, task_feats["bbox"][lvl],
-                                 self.bbox_af_dcn_conv, self.bbox_feat_conv,
-                                 self.bbox_gn, self.pts_bbox_refine_out)
-                refine_sp = jax.nn.softplus(
-                    out + jax.lax.stop_gradient(init_sps["bbox"][lvl]))
-                outs["bbox_init"].append(init_sps["bbox"][lvl])
-                outs["bbox_refine"].append(refine_sp)
-            if task == "segm":
-                raws = self._refine_gather(task_feats["segm"],
-                                           dcn_offs["segm"][lvl], lvl,
-                                           self.pts_segm_refine_conv)
-                out = self._fuse(raws, task_feats["segm"][lvl],
-                                 self.segm_af_dcn_conv, self.segm_feat_conv,
-                                 self.segm_gn, self.pts_segm_refine_out)
-                refine_sp = jax.nn.softplus(
-                    out + jax.lax.stop_gradient(init_sps["segm"][lvl]))
-                outs["segm_init"].append(init_sps["segm"][lvl])
-                outs["segm_refine"].append(refine_sp)
-            if task in ("pose_bbox", "pose_kbox"):
-                raws = self._refine_gather(task_feats["pose"],
-                                           dcn_offs["pose"][lvl], lvl,
-                                           self.pts_pose_refine_conv)
-                out = self._fuse(raws, task_feats["pose"][lvl],
-                                 self.pose_af_dcn_conv, self.pose_feat_conv,
-                                 self.pose_gn, self.pts_pose_refine_out)
-                refine_sp = jax.nn.softplus(
-                    out + jax.lax.stop_gradient(init_sps["pose"][lvl]))
-                outs["pose_init"].append(init_sps["pose"][lvl])
-                outs["pose_refine"].append(refine_sp)
-            cls_raws = self._refine_gather(cls_feats,
-                                           dcn_offs[cls_offset_key][lvl], lvl,
-                                           self.pts_cls_conv)
-            cls_out = self._fuse(cls_raws, cls_feats[lvl],
+            cls_out = self._fuse(cls_raws_per_lvl[lvl], cls_feats[lvl],
                                  self.cls_af_dcn_conv, self.cls_feat_conv,
                                  self.cls_gn, self.pts_cls_out)
             outs["cls"].append(cls_out)

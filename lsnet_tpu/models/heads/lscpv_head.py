@@ -25,7 +25,8 @@ from flax import linen as nn
 from ...ops.corner_pool import bottom_pool, left_pool, right_pool, top_pool
 from ..layers import (ConvModule, DCNConvModule, PyramidDeformConv,
                       bias_init_with_prob, normal_init)
-from .ls_head import LSHead, dcn_base_offset, signed_from_pairs
+from .ls_head import (LSHead, branch_pyramid_jobs, dcn_base_offset,
+                      signed_from_pairs)
 
 Array = jax.Array
 
@@ -195,19 +196,26 @@ class LSCPVHead(nn.Module):
         num_levels = len(feats)
         base = jnp.asarray(dcn_base_offset(self.dcn_kernel), feats[0].dtype)
 
+        def run_tower(tower, xs):
+            cur = list(xs)
+            for blk in tower:
+                if isinstance(blk, DCNConvModule):
+                    cur = blk(cur)
+                else:
+                    cur = [blk(f) for f in cur]
+            return cur
+
+        cls_feats_t = run_tower(self.cls_tower, feats)
+        bbox_feats_t = run_tower(self.bbox_tower, feats)
+        shared_t = run_tower(self.shared_tower, bbox_feats_t)
+
         cls_feats, bbox_feats = [], []
         init_sps, dcn_offs = [], []
         hem_scores, hem_offsets, sem_scores = [], [], []
-        for x in feats:
-            cf = x
-            for blk in self.cls_tower:
-                cf = blk(cf)
-            bf = x
-            for blk in self.bbox_tower:
-                bf = blk(bf)
-            sf = bf
-            for blk in self.shared_tower:
-                sf = blk(sf)
+        for lvl_i, x in enumerate(feats):
+            cf = cls_feats_t[lvl_i]
+            bf = bbox_feats_t[lvl_i]
+            sf = shared_t[lvl_i]
             sem_score = self.sem_out(sf)
             sem_feat = self.sem_embedding(sf)
             cf = cf + sem_feat
@@ -240,26 +248,13 @@ class LSCPVHead(nn.Module):
         outs = {"cls": [], "bbox_init": init_sps, "bbox_refine": [],
                 "hem_score": hem_scores, "hem_offset": hem_offsets,
                 "sem_score": sem_scores}
+        jobs = branch_pyramid_jobs(bbox_feats, dcn_offs, self.dcn_kernel,
+                                   self.offset_scale_compat)
+        bbox_raws = self.pts_bbox_refine_conv(list(bbox_feats), jobs)
+        cls_raws_all = self.pts_cls_conv(list(cls_feats), jobs)
         for lvl in range(num_levels):
-            raws, cls_raws = [], []
-            base_h, base_w = bbox_feats[lvl].shape[1:3]
-            off = dcn_offs[lvl]
-            for level in LSHead._level_list(lvl, num_levels):
-                cur_h, cur_w = bbox_feats[level].shape[1:3]
-                scale_h, scale_w = cur_h / base_h, cur_w / base_w
-                if self.offset_scale_compat:
-                    oy = off[..., 0::2] * scale_h
-                    ox = off[..., 1::2] * scale_w
-                    off = jnp.stack([oy, ox], -1).reshape(off.shape)
-                    off_use = off
-                else:
-                    oy = dcn_offs[lvl][..., 0::2] * scale_h
-                    ox = dcn_offs[lvl][..., 1::2] * scale_w
-                    off_use = jnp.stack([oy, ox], -1).reshape(off.shape)
-                raws.append(self.pts_bbox_refine_conv(
-                    bbox_feats[level], off_use, scale_h, scale_w))
-                cls_raws.append(self.pts_cls_conv(
-                    cls_feats[level], off_use, scale_h, scale_w))
+            raws = bbox_raws[3 * lvl:3 * lvl + 3]
+            cls_raws = cls_raws_all[3 * lvl:3 * lvl + 3]
             fused = nn.relu(self.bbox_af_dcn_conv(jnp.concatenate(raws, -1)))
             fused = self.bbox_gn(fused + self.bbox_feat_conv(bbox_feats[lvl]))
             refine_out = self.pts_bbox_refine_out(nn.relu(fused))

@@ -18,6 +18,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.deform_conv import modulated_deform_conv, pyramid_deform_conv
+from ..ops.flat_deform import (SampleJob, multilevel_modulated_dcn,
+                               multilevel_pyramid_dcn)
 
 Array = jax.Array
 
@@ -113,6 +115,10 @@ class ConvModule(nn.Module):
 class ModulatedDeformConvPack(nn.Module):
     """DCNv2 'pack': an internal zero-initialized conv predicts
     (offset, mask) from the input (`deform_conv.py:488-562` reference).
+
+    Accepts a single (B,H,W,C) map or a list of maps (FPN levels); the
+    multi-level call batches every level into one flat gather + one MXU
+    matmul (:mod:`lsnet_tpu.ops.flat_deform`) — the TPU-fast path.
     """
     out_channels: int
     kernel_size: int = 3
@@ -122,38 +128,49 @@ class ModulatedDeformConvPack(nn.Module):
     use_bias: bool = True
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x):
+        multi = isinstance(x, (list, tuple))
+        xs = list(x) if multi else [x]
         k = self.kernel_size
         K = k * k
-        cin = x.shape[-1]
+        cin = xs[0].shape[-1]
         conv_offset = nn.Conv(3 * K, (k, k), strides=(self.stride,) * 2,
                               padding=[(self.padding,) * 2] * 2,
                               kernel_dilation=(self.dilation,) * 2,
                               kernel_init=nn.initializers.zeros,
                               bias_init=nn.initializers.zeros,
-                              name="conv_offset")(x)
-        o1, o2, mask = jnp.split(conv_offset, 3, axis=-1)
-        # reference layout: offset channels = [all y taps, ... wait —
-        # torch chunks into (o1, o2, mask) then cat(o1, o2): o1 holds the
-        # first K offset channels which are interleaved (y0,x0,...,y_{K/2}..)
-        offset = jnp.concatenate([o1, o2], axis=-1)
-        mask = jax.nn.sigmoid(mask)
+                              name="conv_offset")
+        offsets, masks = [], []
+        for f in xs:
+            raw = conv_offset(f)
+            # torch chunks into (o1, o2, mask) then cat(o1, o2); o1/o2 are
+            # halves of the interleaved [y0,x0,...] layout
+            o1, o2, mask = jnp.split(raw, 3, axis=-1)
+            offsets.append(jnp.concatenate([o1, o2], axis=-1))
+            masks.append(jax.nn.sigmoid(mask))
         stdv = 1.0 / math.sqrt(cin * K)
         weight = self.param("weight", _centered_uniform(stdv),
                             (k, k, cin, self.out_channels), jnp.float32)
         bias = (self.param("bias", nn.initializers.zeros,
                            (self.out_channels,), jnp.float32)
                 if self.use_bias else None)
-        return modulated_deform_conv(
-            x, offset, mask, weight.astype(x.dtype),
-            None if bias is None else bias.astype(x.dtype),
-            stride=self.stride, padding=self.padding, dilation=self.dilation)
+        outs = multilevel_modulated_dcn(
+            xs, offsets, masks, weight.astype(xs[0].dtype),
+            None if bias is None else bias.astype(xs[0].dtype),
+            stride=self.stride, padding=self.padding,
+            dilation=self.dilation)
+        return outs if multi else outs[0]
 
 
 class PyramidDeformConv(nn.Module):
     """Weight holder for the cross-level deformable conv
-    (`deform_conv.py:565-629` reference). Called with an external offset
-    field and (scale_h, scale_w)."""
+    (`deform_conv.py:565-629` reference).
+
+    Two call forms:
+      * ``pdc(x, offset, scale_h, scale_w)`` — single map (reference API);
+      * ``pdc(feats_list, jobs_list)`` — a whole branch's cross-level
+        gathers batched into one flat gather + one matmul.
+    """
     out_channels: int
     kernel_size: int = 3
     stride: int = 1
@@ -161,9 +178,14 @@ class PyramidDeformConv(nn.Module):
     kernel_init: Callable = kaiming_init
 
     @nn.compact
-    def __call__(self, x: Array, offset: Array, scale_h: float,
-                 scale_w: float) -> Array:
+    def __call__(self, x, offset, scale_h=None, scale_w=None):
         k = self.kernel_size
+        if isinstance(x, (list, tuple)):
+            cin = x[0].shape[-1]
+            weight = self.param("weight", self.kernel_init,
+                                (k, k, cin, self.out_channels), jnp.float32)
+            return multilevel_pyramid_dcn(list(x), list(offset),
+                                          weight.astype(x[0].dtype))
         cin = x.shape[-1]
         weight = self.param("weight", self.kernel_init,
                             (k, k, cin, self.out_channels), jnp.float32)
@@ -173,16 +195,21 @@ class PyramidDeformConv(nn.Module):
 
 
 class DCNConvModule(nn.Module):
-    """DCNv2 + GN + ReLU tower block (`lsnet_head.py:1830-1849`)."""
+    """DCNv2 + GN + ReLU tower block (`lsnet_head.py:1830-1849`).
+
+    List-in/list-out over FPN levels (shared weights, batched sampling)."""
     out_channels: int
     kernel_size: int = 3
     num_groups: int = 32
     padding: int = 1
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        x = ModulatedDeformConvPack(self.out_channels, self.kernel_size,
-                                    padding=self.padding, name="conv")(x)
-        x = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
-                         name="bn")(x)
-        return nn.relu(x)
+    def __call__(self, x):
+        multi = isinstance(x, (list, tuple))
+        outs = ModulatedDeformConvPack(self.out_channels, self.kernel_size,
+                                       padding=self.padding, name="conv")(x)
+        gn = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
+                          name="bn")
+        if multi:
+            return [nn.relu(gn(o)) for o in outs]
+        return nn.relu(gn(outs))

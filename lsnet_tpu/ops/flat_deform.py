@@ -1,0 +1,194 @@
+"""Flattened multi-level deformable sampling — the TPU hot path.
+
+The naive formulation (one gather + matmul per FPN level per branch) costs
+~36 separate gather pipelines per forward; profiling on v5e shows the time
+going to per-op overheads, materialized reshapes and broadcast multiplies.
+This module batches *every level of a branch* into:
+
+  1. ONE flat row-gather from the concatenated multi-level feature buffer
+     (B*sum(H_l*W_l), C) — the only gather shape XLA:TPU lowers to its fast
+     embedding-lookup path;
+  2. ONE weighted corner combine;
+  3. ONE MXU matmul with the (shared) kernel weights.
+
+Semantics are identical to :mod:`lsnet_tpu.ops.deform_conv` (zero-padded
+bilinear, reference CUDA parity) — the unit tests cross-check them.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+
+class FlatLevels(NamedTuple):
+    """Concatenated multi-level feature buffer + static level metadata."""
+    flat: Array                      # (B * sum(HW_l), C)
+    B: int
+    shapes: Tuple[Tuple[int, int], ...]
+    offsets: Tuple[int, ...]         # start row of each level (per image)
+    total: int                       # sum(HW_l)
+
+
+def pack_levels(feats: Sequence[Array]) -> FlatLevels:
+    """[(B,H,W,C)...] -> row-major concat (B*N, C) with per-level offsets.
+
+    Layout: image-major — rows [b*N + off_l + y*W_l + x]."""
+    B = feats[0].shape[0]
+    C = feats[0].shape[-1]
+    shapes = tuple((f.shape[1], f.shape[2]) for f in feats)
+    sizes = [h * w for h, w in shapes]
+    offs = tuple(int(x) for x in np.cumsum([0] + sizes[:-1]))
+    total = int(sum(sizes))
+    flat = jnp.concatenate(
+        [f.reshape(B, -1, C) for f in feats], axis=1).reshape(B * total, C)
+    return FlatLevels(flat, B, shapes, offs, total)
+
+
+def _corner_data(ys: Array, xs: Array, H: int, W: int, base_row: Array
+                 ) -> Tuple[List[Array], List[Array]]:
+    """4-corner flat indices + tent weights for samples in one level.
+
+    ys/xs: (B, P) f32; base_row: (B, 1) int32 row offset of this level per
+    image. Returns lists of 4 ((B,P) idx, (B,P) w)."""
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    idxs, ws = [], []
+    for dy in (0, 1):
+        yi = y0i + dy
+        wy = 1.0 - jnp.abs(ys - y0 - dy)
+        yv = (yi >= 0) & (yi < H)
+        for dx in (0, 1):
+            xi = x0i + dx
+            wx = 1.0 - jnp.abs(xs - x0 - dx)
+            v = yv & (xi >= 0) & (xi < W)
+            idx = (jnp.clip(yi, 0, H - 1) * W
+                   + jnp.clip(xi, 0, W - 1)) + base_row
+            idxs.append(idx)
+            ws.append(wy * wx * v)
+    return idxs, ws
+
+
+class SampleJob(NamedTuple):
+    """One deformable sampling job: offset field -> samples in one level."""
+    src_level: int
+    offset: Array                    # (B, Ho, Wo, 2K) [y,x] interleaved
+    mask: Optional[Array]            # (B, Ho, Wo, K) or None
+    scale: Tuple[float, float]       # base-coordinate scale (pyramid)
+    stride: Tuple[int, int]
+    padding: Tuple[int, int]
+    dilation: Tuple[int, int]
+
+
+def _job_coords(job: SampleJob, K: int) -> Tuple[Array, Array]:
+    """Sample coordinates (B, Ho*Wo*K) in the source level's pixel units."""
+    B, Ho, Wo, _ = job.offset.shape
+    kh = kw = int(np.sqrt(K))
+    f32 = jnp.float32
+    off = job.offset.reshape(B, Ho, Wo, K, 2).astype(f32)
+    hs = (jnp.arange(Ho, dtype=f32) * job.stride[0]
+          - job.padding[0])[None, :, None, None]
+    ws = (jnp.arange(Wo, dtype=f32) * job.stride[1]
+          - job.padding[1])[None, None, :, None]
+    dyy = jnp.repeat(jnp.arange(kh, dtype=f32) * job.dilation[0], kw)
+    dxx = jnp.tile(jnp.arange(kw, dtype=f32) * job.dilation[1], kh)
+    base_y = (hs + dyy[None, None, None, :]) * job.scale[0]
+    base_x = (ws + dxx[None, None, None, :]) * job.scale[1]
+    ys = (base_y + off[..., 0]).reshape(B, -1)
+    xs = (base_x + off[..., 1]).reshape(B, -1)
+    return ys, xs
+
+
+def batched_deform_matmul(levels: FlatLevels, jobs: Sequence[SampleJob],
+                          weight: Array, K: int) -> List[Array]:
+    """Run all jobs through one gather + one matmul.
+
+    weight: (kh, kw, C, Cout) shared conv kernel.
+    Returns per-job (B, Ho, Wo, Cout) outputs.
+    """
+    B = levels.B
+    C = levels.flat.shape[-1]
+    cdt = levels.flat.dtype
+    img_base = (jnp.arange(B, dtype=jnp.int32) * levels.total)[:, None]
+
+    all_idx: List[Array] = []
+    all_w: List[Array] = []
+    job_sizes: List[int] = []
+    for job in jobs:
+        H, W = levels.shapes[job.src_level]
+        ys, xs = _job_coords(job, K)                      # (B, P)
+        base_row = img_base + levels.offsets[job.src_level]
+        idxs, ws = _corner_data(ys, xs, H, W, base_row)
+        if job.mask is not None:
+            m = job.mask.reshape(B, -1).astype(jnp.float32)
+            ws = [w * m for w in ws]
+        job_sizes.append(ys.shape[1])
+        # corner-major within job: (4, B, P)
+        all_idx.append(jnp.stack(idxs))
+        all_w.append(jnp.stack(ws))
+
+    idx_cat = jnp.concatenate([i.reshape(4, -1) for i in all_idx],
+                              axis=1)                     # (4, B*ΣP)
+    w_cat = jnp.concatenate([w.reshape(4, -1) for w in all_w], axis=1)
+    gathered = levels.flat[idx_cat.reshape(-1)]           # (4*B*ΣP, C)
+    gathered = gathered.reshape(4, -1, C)
+    vals = (gathered[0] * w_cat[0, :, None].astype(cdt)
+            + gathered[1] * w_cat[1, :, None].astype(cdt)
+            + gathered[2] * w_cat[2, :, None].astype(cdt)
+            + gathered[3] * w_cat[3, :, None].astype(cdt))  # (B*ΣP, C)
+
+    # one big matmul: rows grouped per output pixel (K taps contiguous)
+    cout = weight.shape[-1]
+    wmat = weight.reshape(K * C, cout).astype(cdt)
+    total_px = vals.shape[0] // K
+    out = jax.lax.dot_general(
+        vals.reshape(total_px, K * C), wmat,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(cdt)   # (total_px, Cout)
+
+    # split back per job
+    outs: List[Array] = []
+    row = 0
+    for job, P in zip(jobs, job_sizes):
+        _, Ho, Wo, _ = job.offset.shape
+        n_px = B * P // K
+        outs.append(out[row:row + n_px].reshape(B, Ho, Wo, cout))
+        row += n_px
+    return outs
+
+
+def multilevel_modulated_dcn(feats: Sequence[Array],
+                             offsets: Sequence[Array],
+                             masks: Sequence[Array], weight: Array,
+                             bias: Optional[Array] = None, *,
+                             stride: int = 1, padding: int = 1,
+                             dilation: int = 1) -> List[Array]:
+    """DCNv2 applied to every FPN level with shared weights — one gather,
+    one matmul (used by the head towers)."""
+    K = weight.shape[0] * weight.shape[1]
+    levels = pack_levels(feats)
+    jobs = [SampleJob(i, offsets[i], masks[i], (1.0, 1.0),
+                      (stride, stride), (padding, padding),
+                      (dilation, dilation))
+            for i in range(len(feats))]
+    outs = batched_deform_matmul(levels, jobs, weight, K)
+    if bias is not None:
+        outs = [o + bias.astype(o.dtype) for o in outs]
+    return outs
+
+
+def multilevel_pyramid_dcn(feats: Sequence[Array],
+                           jobs: Sequence[SampleJob], weight: Array
+                           ) -> List[Array]:
+    """PyramidDeformConv for a whole branch (all output levels x all source
+    levels) — one gather, one matmul."""
+    K = weight.shape[0] * weight.shape[1]
+    levels = pack_levels(feats)
+    return batched_deform_matmul(levels, jobs, weight, K)
