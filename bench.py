@@ -43,19 +43,19 @@ def main():
     def fwd(variables, images):
         return model.apply(variables, images)
 
-    def run_once():
-        outs = fwd(variables, images)
+    def sync(outs):
         # force completion with a host transfer (block_until_ready can be
         # a no-op over the remote-execution tunnel)
         return float(jnp.asarray(outs["cls"][0]).reshape(-1)[0])
 
-    run_once()
-    run_once()
+    sync(fwd(variables, images))
+    sync(fwd(variables, images))
 
-    n_iters = 10
+    n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        run_once()
+        outs = fwd(variables, images)
+    sync(outs)   # one sync: dispatches queue server-side
     dt = time.perf_counter() - t0
     imgs_per_s = B * n_iters / dt
 

@@ -95,6 +95,53 @@ def inference_detector(bundle: DetectorBundle,
     }
 
 
+def aug_test(bundle: DetectorBundle, img: Union[str, np.ndarray],
+             scales: Optional[list] = None, flip: bool = True,
+             scale_ranges: Optional[list] = None) -> Dict[str, np.ndarray]:
+    """Multi-scale + flip TTA with soft voting (reference
+    ``aug_test_vote``, `detectors/lsnet.py:301-396`).
+
+    Each (scale, flip) augmentation runs the jitted forward+decode; the
+    per-aug detections merge host-side via IoU-weighted voting.
+    """
+    from .evalkit.tta import aug_test_vote
+
+    if isinstance(img, str):
+        from PIL import Image
+        with Image.open(img) as im:
+            img = np.asarray(im.convert("RGB"))
+    scales = scales or [(1333, 800)]
+    # reference default vote scale ranges (one per scale)
+    if scale_ranges is None:
+        scale_ranges = [(0, 10000)] * len(scales)
+    task = bundle.cfg.model.bbox_head.task
+    H, W = img.shape[:2]
+    aug_results, metas = [], []
+    for scale in scales:
+        nh, nw = rescale_size(H, W, tuple(scale))
+        resized = resize_image(img, (nh, nw))
+        sf = np.array([nw / W, nh / H, nw / W, nh / H], np.float32)
+        for do_flip in ([False, True] if flip else [False]):
+            im_aug = resized[:, ::-1].copy() if do_flip else resized
+            norm = normalize_image(im_aug)
+            canvas_img = pad_to_shape(norm, bundle.canvas)
+            det = bundle.fwd(bundle.variables,
+                             jnp.asarray(canvas_img[None]),
+                             jnp.asarray([[nh, nw]], jnp.int32),
+                             jnp.asarray(np.ones((1, 4), np.float32)))
+            det = jax.tree.map(np.asarray, det)
+            v = det.valid[0]
+            aug_results.append(dict(bboxes=det.bboxes[0][v],
+                                    scores=det.scores[0][v],
+                                    labels=det.labels[0][v],
+                                    vectors=det.landmarks[0][v]))
+            metas.append(dict(img_shape=(nh, nw), scale_factor=sf,
+                              flip=do_flip))
+    merged = aug_test_vote(aug_results, metas, scale_ranges, task=task,
+                           num_classes=bundle.cfg.model.bbox_head.num_classes)
+    return merged
+
+
 def show_result(img: np.ndarray, result: Dict[str, np.ndarray], task: str,
                 score_thr: float = 0.3,
                 out_file: Optional[str] = None) -> np.ndarray:

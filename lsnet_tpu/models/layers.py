@@ -72,8 +72,10 @@ def make_norm(norm_cfg: Optional[dict], name: Optional[str] = None) -> Optional[
         return None
     kind = norm_cfg["type"]
     if kind == "GN":
+        # dtype inferred from inputs/params: keeps bf16 activations bf16
+        # (stats are still computed in f32 internally by flax)
         return nn.GroupNorm(num_groups=norm_cfg.get("num_groups", 32),
-                            epsilon=1e-5, dtype=jnp.float32, name=name)
+                            epsilon=1e-5, name=name)
     if kind in ("BN", "SyncBN", "FrozenBN"):
         return FrozenBatchNorm(name=name)
     raise ValueError(f"unknown norm type {kind}")

@@ -38,16 +38,16 @@ def model_cfg(towers: str, backbone_dcn: bool):
     )
 
 
-def timed(fn, *args, iters=6):
-    def once():
-        out = fn(*args)
+def timed(fn, *args, iters=10):
+    def sync(out):
         leaf = jax.tree.leaves(out)[0]
         return float(jnp.asarray(leaf).reshape(-1)[0])
-    once()
-    once()
+    sync(fn(*args))
+    sync(fn(*args))
     t0 = time.perf_counter()
     for _ in range(iters):
-        once()
+        out = fn(*args)
+    sync(out)  # single sync after queued dispatches
     return (time.perf_counter() - t0) / iters
 
 

@@ -55,16 +55,18 @@ def main():
     else:
         fwd = jax.jit(model.apply)
 
-    out = fwd(variables, images)
-    jax.block_until_ready(out)
-    for _ in range(args.warmup - 1):
+    def sync(out):
+        leaf = jax.tree.leaves(out)[0]
+        return float(jnp.asarray(leaf).reshape(-1)[0])
+
+    for _ in range(args.warmup):
         out = fwd(variables, images)
-    jax.block_until_ready(out)
+    sync(out)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = fwd(variables, images)
-    jax.block_until_ready(out)
+    sync(out)
     dt = time.perf_counter() - t0
     fps = B * args.iters / dt
     print(f"throughput: {fps:.2f} img/s  ({dt / args.iters * 1000:.1f} "
