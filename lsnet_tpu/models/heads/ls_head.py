@@ -30,8 +30,9 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..layers import (ConvModule, DCNConvModule, PyramidDeformConv,
-                      bias_init_with_prob, normal_init, kaiming_init)
+from ..layers import (ConvModule, DCNConvModule, PairedPyramidDeformConv,
+                      PyramidDeformConv, bias_init_with_prob, normal_init,
+                      kaiming_init)
 
 Array = jax.Array
 
@@ -235,10 +236,14 @@ class LSHead(nn.Module):
                 kernel_init=normal_init(0.01), name="pose_feat_conv")
             self.pose_gn = nn.GroupNorm(num_groups=self.norm_groups,
                                         epsilon=1e-5, name="pose_GN")
-        # classification branch (shared across tasks)
-        self.pts_cls_conv = PyramidDeformConv(
-            self.point_feat_channels, self.dcn_kernel,
-            padding=(self.dcn_kernel - 1) // 2, name="pts_cls_conv")
+        # classification branch (shared across tasks). The cls pyramid
+        # gathers share the MAIN task branch's offset field, so the two
+        # branches fuse into one double-width gather (PairedPyramidDeformConv)
+        main = {"bbox": "bbox", "segm": "segm", "pose_bbox": "pose",
+                "pose_kbox": "pose"}[task]
+        self.pair_refine_cls = PairedPyramidDeformConv(
+            self.point_feat_channels, self.point_feat_channels,
+            self.dcn_kernel, name=f"pts_{main}_cls_pair")
         self.pts_cls_out = nn.Conv(
             self.num_classes, (1, 1), kernel_init=normal_init(0.01),
             bias_init=nn.initializers.constant(bias_init_with_prob(0.01)),
@@ -361,43 +366,45 @@ class LSHead(nn.Module):
             init_sps["pose"] = [p[0] for p in pairs]
             dcn_offs["pose"] = [p[1] for p in pairs]
 
-        # stage 2 — one flat gather+matmul per branch, then per-level fuse
-        cls_offset_key = {"bbox": "bbox", "segm": "segm",
-                          "pose_bbox": "pose", "pose_kbox": "pose"}[task]
+        # stage 2 — the MAIN task branch and the cls branch share one
+        # offset field, so they run as ONE double-width gather; pose_bbox's
+        # extra bbox branch runs its own batched gather
+        main = {"bbox": "bbox", "segm": "segm", "pose_bbox": "pose",
+                "pose_kbox": "pose"}[task]
+        def fuse_cfg(key):
+            return (getattr(self, f"{key}_af_dcn_conv"),
+                    getattr(self, f"{key}_feat_conv"),
+                    getattr(self, f"{key}_gn"),
+                    getattr(self, f"pts_{key}_refine_out"))
 
-        def refine_branch(key, pdc, af_conv, feat_conv, gn, out_conv,
-                          out_init_key, out_refine_key):
-            raws_per_lvl = self._refine_gather_all(task_feats[key],
-                                                   dcn_offs[key], pdc)
+        jobs_main = branch_pyramid_jobs(task_feats[main], dcn_offs[main],
+                                        self.dcn_kernel,
+                                        self.offset_scale_compat)
+        main_raws, cls_raws = self.pair_refine_cls(task_feats[main],
+                                                   cls_feats, jobs_main)
+
+        def emit_refine(key, raws_per_lvl):
+            af, fc, gn, oc = fuse_cfg(key)
             for lvl in range(num_levels):
                 out = self._fuse(raws_per_lvl[lvl], task_feats[key][lvl],
-                                 af_conv, feat_conv, gn, out_conv)
+                                 af, fc, gn, oc)
                 refine_sp = jax.nn.softplus(
                     out + jax.lax.stop_gradient(init_sps[key][lvl]))
-                outs[out_init_key].append(init_sps[key][lvl])
-                outs[out_refine_key].append(refine_sp)
+                outs[f"{key}_init"].append(init_sps[key][lvl])
+                outs[f"{key}_refine"].append(refine_sp)
 
-        if task in ("bbox", "pose_bbox"):
-            refine_branch("bbox", self.pts_bbox_refine_conv,
-                          self.bbox_af_dcn_conv, self.bbox_feat_conv,
-                          self.bbox_gn, self.pts_bbox_refine_out,
-                          "bbox_init", "bbox_refine")
-        if task == "segm":
-            refine_branch("segm", self.pts_segm_refine_conv,
-                          self.segm_af_dcn_conv, self.segm_feat_conv,
-                          self.segm_gn, self.pts_segm_refine_out,
-                          "segm_init", "segm_refine")
-        if task in ("pose_bbox", "pose_kbox"):
-            refine_branch("pose", self.pts_pose_refine_conv,
-                          self.pose_af_dcn_conv, self.pose_feat_conv,
-                          self.pose_gn, self.pts_pose_refine_out,
-                          "pose_init", "pose_refine")
+        emit_refine(main, [main_raws[3 * l:3 * l + 3]
+                           for l in range(num_levels)])
+        if task == "pose_bbox":
+            bbox_raws_per_lvl = self._refine_gather_all(
+                task_feats["bbox"], dcn_offs["bbox"],
+                self.pts_bbox_refine_conv)
+            emit_refine("bbox", bbox_raws_per_lvl)
 
-        cls_raws_per_lvl = self._refine_gather_all(
-            cls_feats, dcn_offs[cls_offset_key], self.pts_cls_conv)
         for lvl in range(num_levels):
-            cls_out = self._fuse(cls_raws_per_lvl[lvl], cls_feats[lvl],
-                                 self.cls_af_dcn_conv, self.cls_feat_conv,
-                                 self.cls_gn, self.pts_cls_out)
+            cls_out = self._fuse(cls_raws[3 * lvl:3 * lvl + 3],
+                                 cls_feats[lvl], self.cls_af_dcn_conv,
+                                 self.cls_feat_conv, self.cls_gn,
+                                 self.pts_cls_out)
             outs["cls"].append(cls_out)
         return outs

@@ -23,8 +23,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.corner_pool import bottom_pool, left_pool, right_pool, top_pool
-from ..layers import (ConvModule, DCNConvModule, PyramidDeformConv,
-                      bias_init_with_prob, normal_init)
+from ..layers import (ConvModule, DCNConvModule, PairedPyramidDeformConv,
+                      PyramidDeformConv, bias_init_with_prob, normal_init)
 from .ls_head import (LSHead, branch_pyramid_jobs, dcn_base_offset,
                       signed_from_pairs)
 
@@ -128,9 +128,10 @@ class LSCPVHead(nn.Module):
             norm_groups=self.norm_groups, name="hem_br")
 
         bias_cls = bias_init_with_prob(0.01)
-        self.pts_cls_conv = PyramidDeformConv(
-            self.point_feat_channels, self.dcn_kernel, padding=pad,
-            kernel_init=normal_init(0.01), name="pts_cls_conv")
+        self.pair_refine_cls = PairedPyramidDeformConv(
+            self.point_feat_channels, self.point_feat_channels,
+            self.dcn_kernel, kernel_init=normal_init(0.01),
+            name="pts_bbox_cls_pair")
         self.pts_cls_out = nn.Conv(
             self.num_classes, (1, 1), kernel_init=normal_init(0.01),
             bias_init=nn.initializers.constant(bias_cls), name="pts_cls_out")
@@ -250,8 +251,8 @@ class LSCPVHead(nn.Module):
                 "sem_score": sem_scores}
         jobs = branch_pyramid_jobs(bbox_feats, dcn_offs, self.dcn_kernel,
                                    self.offset_scale_compat)
-        bbox_raws = self.pts_bbox_refine_conv(list(bbox_feats), jobs)
-        cls_raws_all = self.pts_cls_conv(list(cls_feats), jobs)
+        bbox_raws, cls_raws_all = self.pair_refine_cls(
+            list(bbox_feats), list(cls_feats), jobs)
         for lvl in range(num_levels):
             raws = bbox_raws[3 * lvl:3 * lvl + 3]
             cls_raws = cls_raws_all[3 * lvl:3 * lvl + 3]

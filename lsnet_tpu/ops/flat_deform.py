@@ -106,13 +106,11 @@ def _job_coords(job: SampleJob, K: int) -> Tuple[Array, Array]:
     return ys, xs
 
 
-def batched_deform_matmul(levels: FlatLevels, jobs: Sequence[SampleJob],
-                          weight: Array, K: int) -> List[Array]:
-    """Run all jobs through one gather + one matmul.
+def _gather_weighted(levels: FlatLevels, jobs: Sequence[SampleJob], K: int
+                     ) -> Tuple[Array, List[int]]:
+    """One flat row-gather + tent-weighted corner combine for all jobs.
 
-    weight: (kh, kw, C, Cout) shared conv kernel.
-    Returns per-job (B, Ho, Wo, Cout) outputs.
-    """
+    Returns (vals (B*ΣP, C), per-job sample counts P)."""
     B = levels.B
     C = levels.flat.shape[-1]
     cdt = levels.flat.dtype
@@ -143,8 +141,15 @@ def batched_deform_matmul(levels: FlatLevels, jobs: Sequence[SampleJob],
             + gathered[1] * w_cat[1, :, None].astype(cdt)
             + gathered[2] * w_cat[2, :, None].astype(cdt)
             + gathered[3] * w_cat[3, :, None].astype(cdt))  # (B*ΣP, C)
+    return vals, job_sizes
 
-    # one big matmul: rows grouped per output pixel (K taps contiguous)
+
+def _contract_and_split(vals: Array, jobs: Sequence[SampleJob],
+                        job_sizes: List[int], weight: Array, K: int, B: int
+                        ) -> List[Array]:
+    """(rows, C) patches -> per-job (B, Ho, Wo, Cout) via one MXU matmul."""
+    C = vals.shape[-1]
+    cdt = vals.dtype
     cout = weight.shape[-1]
     wmat = weight.reshape(K * C, cout).astype(cdt)
     total_px = vals.shape[0] // K
@@ -152,8 +157,6 @@ def batched_deform_matmul(levels: FlatLevels, jobs: Sequence[SampleJob],
         vals.reshape(total_px, K * C), wmat,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(cdt)   # (total_px, Cout)
-
-    # split back per job
     outs: List[Array] = []
     row = 0
     for job, P in zip(jobs, job_sizes):
@@ -162,6 +165,37 @@ def batched_deform_matmul(levels: FlatLevels, jobs: Sequence[SampleJob],
         outs.append(out[row:row + n_px].reshape(B, Ho, Wo, cout))
         row += n_px
     return outs
+
+
+def batched_deform_matmul(levels: FlatLevels, jobs: Sequence[SampleJob],
+                          weight: Array, K: int) -> List[Array]:
+    """Run all jobs through one gather + one matmul.
+
+    weight: (kh, kw, C, Cout) shared conv kernel.
+    Returns per-job (B, Ho, Wo, Cout) outputs.
+    """
+    vals, job_sizes = _gather_weighted(levels, jobs, K)
+    return _contract_and_split(vals, jobs, job_sizes, weight, K, levels.B)
+
+
+def dual_pyramid_dcn(feats_a: Sequence[Array], feats_b: Sequence[Array],
+                     jobs: Sequence[SampleJob], weight_a: Array,
+                     weight_b: Array) -> Tuple[List[Array], List[Array]]:
+    """Two branches sampled at IDENTICAL positions (e.g. the refine and cls
+    branches share one offset field, `lsnet_head.py:635-638`): concatenate
+    channels, gather ONCE with double-width rows (2.6x faster per byte on
+    v5e — descriptor-rate bound), then two channel-sliced matmuls."""
+    Ca = feats_a[0].shape[-1]
+    K = weight_a.shape[0] * weight_a.shape[1]
+    cat = [jnp.concatenate([a, b], axis=-1)
+           for a, b in zip(feats_a, feats_b)]
+    levels = pack_levels(cat)
+    vals, job_sizes = _gather_weighted(levels, jobs, K)   # (rows, Ca+Cb)
+    outs_a = _contract_and_split(vals[:, :Ca], jobs, job_sizes, weight_a,
+                                 K, levels.B)
+    outs_b = _contract_and_split(vals[:, Ca:], jobs, job_sizes, weight_b,
+                                 K, levels.B)
+    return outs_a, outs_b
 
 
 def multilevel_modulated_dcn(feats: Sequence[Array],
