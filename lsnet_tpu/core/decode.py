@@ -38,6 +38,9 @@ class TestConfig:
     score_thr: float = 0.05
     nms_iou: float = 0.6
     max_per_img: int = 100
+    nms_type: str = "nms"        # 'nms' | 'soft_nms'
+    soft_sigma: float = 0.5
+    soft_min_score: float = 1e-3
 
 
 TestConfig.__test__ = False  # not a pytest class
@@ -119,8 +122,18 @@ def _decode_single(cls_flats, lm_flats, img_shape, scale_factor,
     cand = flat_idx // C
     labels = (flat_idx % C).astype(jnp.int32)
     nms_boxes = bboxes[cand]
-    keep_idx, keep_scores, keep_valid = batched_nms(
-        nms_boxes, flat_scores, labels, cfg.nms_iou, cfg.max_per_img)
+    if cfg.nms_type == "soft_nms":
+        from ..ops.nms import soft_nms
+        max_coord = jnp.max(jnp.where(flat_scores > NEG_INF / 2,
+                                      nms_boxes.max(axis=-1), 0.0))
+        shifted = nms_boxes + (labels.astype(nms_boxes.dtype)
+                               * (max_coord + 1.0))[:, None]
+        keep_idx, keep_scores, keep_valid = soft_nms(
+            shifted, flat_scores, cfg.nms_iou, cfg.max_per_img,
+            sigma=cfg.soft_sigma, min_score=cfg.soft_min_score)
+    else:
+        keep_idx, keep_scores, keep_valid = batched_nms(
+            nms_boxes, flat_scores, labels, cfg.nms_iou, cfg.max_per_img)
     out_boxes = nms_boxes[keep_idx]
     out_labels = labels[keep_idx]
     out_lms = lms[cand[keep_idx]]

@@ -74,6 +74,9 @@ def test_cfg_from(cfg, image_shape) -> TestConfig:
         score_thr=tc.get("score_thr", 0.05),
         nms_iou=tc.get("nms", {}).get("iou_thr", 0.6),
         max_per_img=tc.get("max_per_img", 100),
+        nms_type=tc.get("nms", {}).get("type", "nms"),
+        soft_sigma=tc.get("nms", {}).get("sigma", 0.5),
+        soft_min_score=tc.get("nms", {}).get("min_score", 1e-3),
     )
 
 
