@@ -95,6 +95,65 @@ def inference_detector(bundle: DetectorBundle,
     }
 
 
+def aug_test_simple(bundle: DetectorBundle, img: Union[str, np.ndarray],
+                    scales: Optional[list] = None, flip: bool = True
+                    ) -> Dict[str, np.ndarray]:
+    """Simple TTA (reference ``aug_test_simple``, `detectors/lsnet.py:
+    102-135`, bbox task): per-aug candidates WITHOUT NMS, mapped back,
+    concatenated, then ONE class-wise NMS."""
+    from .core.decode import lsnet_decode_candidates, nms_candidates
+    from .evalkit.tta import bbox_flip, extreme_flip
+
+    if isinstance(img, str):
+        from PIL import Image
+        with Image.open(img) as im:
+            img = np.asarray(im.convert("RGB"))
+    scales = scales or [(1333, 800)]
+    cfg = test_cfg_from(bundle.cfg, bundle.canvas)
+    model = bundle.model
+
+    @jax.jit
+    def fwd_cand(variables, images, shapes, sfs):
+        outs = model.apply(variables, images)
+        return lsnet_decode_candidates(outs, shapes, sfs, cfg,
+                                       rescale=False)
+
+    H, W = img.shape[:2]
+    all_b, all_l, all_s = [], [], []
+    for scale in scales:
+        nh, nw = rescale_size(H, W, tuple(scale))
+        resized = resize_image(img, (nh, nw))
+        sf = np.array([nw / W, nh / H, nw / W, nh / H], np.float32)
+        for do_flip in ([False, True] if flip else [False]):
+            im_aug = resized[:, ::-1].copy() if do_flip else resized
+            norm = normalize_image(im_aug)
+            canvas_img = pad_to_shape(norm, bundle.canvas)
+            b, l, s = fwd_cand(bundle.variables,
+                               jnp.asarray(canvas_img[None]),
+                               jnp.asarray([[nh, nw]], jnp.int32),
+                               jnp.asarray(np.ones((1, 4), np.float32)))
+            b = np.asarray(b[0], np.float64)
+            l = np.asarray(l[0], np.float64)
+            s = np.asarray(s[0])
+            if do_flip:
+                b = bbox_flip(b, (nh, nw))
+                l = extreme_flip(l, (nh, nw))
+            b /= sf
+            l /= np.tile(sf[:2], l.shape[1] // 2)
+            all_b.append(b)
+            all_l.append(l)
+            all_s.append(s)
+    bboxes = jnp.asarray(np.concatenate(all_b), jnp.float32)
+    lms = jnp.asarray(np.concatenate(all_l), jnp.float32)
+    scores = jnp.asarray(np.concatenate(all_s), jnp.float32)
+    det = jax.jit(lambda b, l, s: nms_candidates(b, l, s, cfg))(bboxes, lms,
+                                                                scores)
+    det = jax.tree.map(np.asarray, det)
+    v = det.valid
+    return {"bboxes": det.bboxes[v], "scores": det.scores[v],
+            "labels": det.labels[v], "landmarks": det.landmarks[v]}
+
+
 def aug_test(bundle: DetectorBundle, img: Union[str, np.ndarray],
              scales: Optional[list] = None, flip: bool = True,
              scale_ranges: Optional[list] = None) -> Dict[str, np.ndarray]:

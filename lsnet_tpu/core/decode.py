@@ -112,8 +112,13 @@ def _decode_single(cls_flats, lm_flats, img_shape, scale_factor,
         sf = scale_factor                                       # (4,)
         bboxes = bboxes / sf[None, :]
         lms = lms / jnp.tile(sf[:2], lms.shape[-1] // 2)[None, :]
+    return bboxes, lms, scores
 
-    # multiclass_nms_lsvr: flatten (candidate, class) pairs
+
+def nms_candidates(bboxes: Array, lms: Array, scores: Array,
+                   cfg: TestConfig) -> Detections:
+    """multiclass_nms_lsvr tail: (T,4)/(T,2nv)/(T,C) -> padded Detections."""
+    # flatten (candidate, class) pairs
     T, C = scores.shape
     cand_scores = jnp.where(scores > cfg.score_thr, scores, NEG_INF)
     # keep top (nms_pre) (cand, class) pairs to bound the NMS problem size
@@ -146,8 +151,30 @@ def _decode_single(cls_flats, lm_flats, img_shape, scale_factor,
 def lsnet_decode(outs: Dict[str, Sequence[Array]], img_shapes: Array,
                  scale_factors: Array, cfg: TestConfig,
                  rescale: bool = True) -> Detections:
-    """Batched decode. img_shapes (B,2) [h,w] (pre-pad, post-resize);
-    scale_factors (B,4)."""
+    """Batched decode + class-wise NMS. img_shapes (B,2) [h,w] (pre-pad,
+    post-resize); scale_factors (B,4)."""
+    main_key = {"bbox": "bbox", "segm": "segm", "pose_bbox": "pose",
+                "pose_kbox": "pose"}[cfg.task]
+    cls_flats = [m.reshape(m.shape[0], -1, m.shape[-1]) for m in outs["cls"]]
+    lm_flats = [m.reshape(m.shape[0], -1, m.shape[-1])
+                for m in outs[f"{main_key}_refine"]]
+
+    def single(cls_b, lm_b, shape_b, sf_b):
+        bboxes, lms, scores = _decode_single(
+            list(cls_b), list(lm_b), shape_b, sf_b, cfg, rescale)
+        return nms_candidates(bboxes, lms, scores, cfg)
+
+    return jax.vmap(single)(tuple(cls_flats), tuple(lm_flats), img_shapes,
+                            scale_factors)
+
+
+def lsnet_decode_candidates(outs: Dict[str, Sequence[Array]],
+                            img_shapes: Array, scale_factors: Array,
+                            cfg: TestConfig, rescale: bool = True):
+    """Pre-NMS candidate extraction (the reference ``nms=False`` path used
+    by aug_test_simple, `lsnet_head.py:1662-1668`).
+
+    Returns (bboxes (B,T,4), landmarks (B,T,2nv), scores (B,T,C))."""
     main_key = {"bbox": "bbox", "segm": "segm", "pose_bbox": "pose",
                 "pose_kbox": "pose"}[cfg.task]
     cls_flats = [m.reshape(m.shape[0], -1, m.shape[-1]) for m in outs["cls"]]

@@ -57,6 +57,48 @@ def roi_align(feats: Array, rois: Array, out_size: Tuple[int, int] = (7, 7),
     return vals.mean(axis=(2, 4))
 
 
+@partial(jax.jit, static_argnames=("out_size", "sample_per_part"))
+def deform_roi_pool(feats: Array, rois: Array, offsets: Array,
+                    out_size: Tuple[int, int] = (7, 7),
+                    spatial_scale: float = 1.0, gamma: float = 0.1,
+                    sample_per_part: int = 4) -> Array:
+    """Deformable RoI pooling (reference `dcn/src/cuda/deform_pool_cuda_
+    kernel.cu`): each output bin's sampling window shifts by a learned,
+    roi-size-normalized offset before average pooling.
+
+    offsets: (N, oh, ow, 2) per-bin (dy, dx) normalized offsets.
+    """
+    B, H, W, C = feats.shape
+    N = rois.shape[0]
+    oh, ow = out_size
+    s = sample_per_part
+    batch_idx = rois[:, 0].astype(jnp.int32)
+    x1 = rois[:, 1] * spatial_scale - 0.5
+    y1 = rois[:, 2] * spatial_scale - 0.5
+    x2 = rois[:, 3] * spatial_scale - 0.5
+    y2 = rois[:, 4] * spatial_scale - 0.5
+    roi_w = jnp.maximum(x2 - x1, 0.1)
+    roi_h = jnp.maximum(y2 - y1, 0.1)
+    bin_w = roi_w / ow
+    bin_h = roi_h / oh
+
+    gy = (jnp.arange(oh * s) + 0.5) / s
+    gx = (jnp.arange(ow * s) + 0.5) / s
+    ys = y1[:, None] + gy[None, :] * bin_h[:, None]       # (N, oh*s)
+    xs = x1[:, None] + gx[None, :] * bin_w[:, None]
+    # per-bin offsets scaled by roi size (gamma)
+    dy = offsets[..., 0] * gamma * roi_h[:, None, None]   # (N, oh, ow)
+    dx = offsets[..., 1] * gamma * roi_w[:, None, None]
+    dy_s = jnp.repeat(jnp.repeat(dy, s, axis=1), s, axis=2)
+    dx_s = jnp.repeat(jnp.repeat(dx, s, axis=1), s, axis=2)
+    yy = jnp.broadcast_to(ys[:, :, None], (N, oh * s, ow * s)) + dy_s
+    xx = jnp.broadcast_to(xs[:, None, :], (N, oh * s, ow * s)) + dx_s
+    per_img = feats[batch_idx]
+    vals = bilinear_gather(per_img, yy.reshape(N, -1), xx.reshape(N, -1))
+    vals = vals.reshape(N, oh, s, ow, s, C)
+    return vals.mean(axis=(2, 4))
+
+
 @partial(jax.jit, static_argnames=("out_size",))
 def roi_pool(feats: Array, rois: Array, out_size: Tuple[int, int] = (7, 7),
              spatial_scale: float = 1.0) -> Array:

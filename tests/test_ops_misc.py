@@ -73,3 +73,27 @@ def test_nms_match_groups():
     scores = jnp.array([0.9, 0.8, 0.7])
     group = np.asarray(nms_match(boxes, scores, 0.5))
     assert group[0] == 0 and group[1] == 0 and group[2] == 2
+
+
+def test_deform_roi_pool_zero_offset_equals_roi_align_mean():
+    from lsnet_tpu.ops.roi import deform_roi_pool
+    feats = jnp.ones((1, 12, 12, 2)) * 3.0
+    rois = jnp.array([[0, 2, 2, 10, 10.]])
+    offs = jnp.zeros((1, 3, 3, 2))
+    out = deform_roi_pool(feats, rois, offs, out_size=(3, 3))
+    assert out.shape == (1, 3, 3, 2)
+    np.testing.assert_allclose(np.asarray(out), 3.0, atol=1e-5)
+
+
+def test_deform_roi_pool_offset_shifts_window():
+    from lsnet_tpu.ops.roi import deform_roi_pool
+    # ramp along x: positive dx offset increases pooled value
+    x = jnp.broadcast_to(jnp.arange(16, dtype=jnp.float32)[None, :, None],
+                         (16, 16, 1))[None]
+    rois = jnp.array([[0, 4, 4, 12, 12.]])
+    base = deform_roi_pool(x, rois, jnp.zeros((1, 2, 2, 2)), out_size=(2, 2))
+    shifted = deform_roi_pool(
+        x, rois, jnp.concatenate([jnp.zeros((1, 2, 2, 1)),
+                                  jnp.ones((1, 2, 2, 1))], -1),
+        out_size=(2, 2))
+    assert float(shifted.sum()) > float(base.sum())
