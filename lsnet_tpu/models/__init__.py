@@ -35,7 +35,8 @@ def build_backbone(cfg: Dict[str, Any]):
     dcn = cfg.pop("dcn", None)
     if dcn is not None and "stage_with_dcn" not in cfg:
         cfg["stage_with_dcn"] = (False, True, True, True)
-    cfg.pop("with_cp", None)
+    if cfg.pop("with_cp", False):      # torch checkpointing -> jax remat
+        cfg["remat"] = True
     if kind == "ResNet":
         return ResNet(block_type="resnet", **cfg)
     if kind == "ResNeXt":

@@ -173,9 +173,21 @@ def batched_deform_matmul(levels: FlatLevels, jobs: Sequence[SampleJob],
 
     weight: (kh, kw, C, Cout) shared conv kernel.
     Returns per-job (B, Ho, Wo, Cout) outputs.
+
+    The whole pipeline is rematerialized under autodiff: the (rows, C)
+    gathered-patch tensor (hundreds of MB per call) is recomputed in the
+    backward pass instead of being stored — without this, training a full
+    LSNet at 800x1344 overflows HBM by ~9 GB.
     """
-    vals, job_sizes = _gather_weighted(levels, jobs, K)
-    return _contract_and_split(vals, jobs, job_sizes, weight, K, levels.B)
+    def run(flat, jobs_off, weight):
+        lv = levels._replace(flat=flat)
+        jb = [j._replace(offset=o, mask=m)
+              for j, (o, m) in zip(jobs, jobs_off)]
+        vals, job_sizes = _gather_weighted(lv, jb, K)
+        return _contract_and_split(vals, jb, job_sizes, weight, K, lv.B)
+
+    jobs_off = [(j.offset, j.mask) for j in jobs]
+    return jax.checkpoint(run)(levels.flat, jobs_off, weight)
 
 
 def dual_pyramid_dcn(feats_a: Sequence[Array], feats_b: Sequence[Array],
@@ -184,18 +196,27 @@ def dual_pyramid_dcn(feats_a: Sequence[Array], feats_b: Sequence[Array],
     """Two branches sampled at IDENTICAL positions (e.g. the refine and cls
     branches share one offset field, `lsnet_head.py:635-638`): concatenate
     channels, gather ONCE with double-width rows (2.6x faster per byte on
-    v5e — descriptor-rate bound), then two channel-sliced matmuls."""
+    v5e — descriptor-rate bound), then two channel-sliced matmuls.
+    Rematerialized under autodiff (see :func:`batched_deform_matmul`)."""
     Ca = feats_a[0].shape[-1]
     K = weight_a.shape[0] * weight_a.shape[1]
-    cat = [jnp.concatenate([a, b], axis=-1)
-           for a, b in zip(feats_a, feats_b)]
-    levels = pack_levels(cat)
-    vals, job_sizes = _gather_weighted(levels, jobs, K)   # (rows, Ca+Cb)
-    outs_a = _contract_and_split(vals[:, :Ca], jobs, job_sizes, weight_a,
-                                 K, levels.B)
-    outs_b = _contract_and_split(vals[:, Ca:], jobs, job_sizes, weight_b,
-                                 K, levels.B)
-    return outs_a, outs_b
+
+    def run(feats_a, feats_b, jobs_off, weight_a, weight_b):
+        cat = [jnp.concatenate([a, b], axis=-1)
+               for a, b in zip(feats_a, feats_b)]
+        levels = pack_levels(cat)
+        jb = [j._replace(offset=o, mask=m)
+              for j, (o, m) in zip(jobs, jobs_off)]
+        vals, job_sizes = _gather_weighted(levels, jb, K)  # (rows, Ca+Cb)
+        outs_a = _contract_and_split(vals[:, :Ca], jb, job_sizes, weight_a,
+                                     K, levels.B)
+        outs_b = _contract_and_split(vals[:, Ca:], jb, job_sizes, weight_b,
+                                     K, levels.B)
+        return outs_a, outs_b
+
+    jobs_off = [(j.offset, j.mask) for j in jobs]
+    return jax.checkpoint(run)(list(feats_a), list(feats_b), jobs_off,
+                               weight_a, weight_b)
 
 
 def multilevel_modulated_dcn(feats: Sequence[Array],
