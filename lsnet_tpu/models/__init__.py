@@ -53,6 +53,12 @@ def build_neck(cfg: Dict[str, Any]):
     cfg.pop("in_channels", None)     # inferred from inputs in flax
     if kind == "FPN":
         return FPN(**cfg)
+    if kind == "PAFPN":
+        from .necks.extra import PAFPN
+        return PAFPN(**cfg)
+    if kind == "BFP":
+        from .necks.extra import BFP
+        return BFP(**cfg)
     raise KeyError(f"unknown neck {kind}")
 
 

@@ -1,0 +1,86 @@
+"""Backbone/neck shape-contract tests (reference `tests/test_backbone.py`,
+`tests/test_necks.py` pattern)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from lsnet_tpu.models import build_backbone, build_neck
+
+
+def run(model, x):
+    v = model.init(jax.random.PRNGKey(0), x)
+    return model.apply(v, x), v
+
+
+def test_resnet18_shapes():
+    bb = build_backbone(dict(type="ResNet", depth=18, num_stages=4,
+                             out_indices=(0, 1, 2, 3)))
+    outs, _ = run(bb, jnp.zeros((1, 64, 64, 3)))
+    assert [o.shape for o in outs] == [
+        (1, 16, 16, 64), (1, 8, 8, 128), (1, 4, 4, 256), (1, 2, 2, 512)]
+
+
+def test_resnet50_channels():
+    bb = build_backbone(dict(type="ResNet", depth=50, num_stages=4,
+                             out_indices=(0, 1, 2, 3)))
+    outs, _ = run(bb, jnp.zeros((1, 64, 64, 3)))
+    assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+
+
+def test_resnext_group_width():
+    bb = build_backbone(dict(type="ResNeXt", depth=50, groups=8,
+                             base_width=4, num_stages=4,
+                             out_indices=(3,)))
+    outs, v = run(bb, jnp.zeros((1, 64, 64, 3)))
+    assert outs[0].shape[-1] == 2048
+    # grouped conv2 width = planes * base_width * groups / 64
+    k = v["params"]["layer1_0"]["conv2"]["kernel"]
+    assert k.shape[-1] == 64 * 4 * 8 // 64  # 32
+
+
+def test_res2net_structure():
+    bb = build_backbone(dict(type="Res2Net", depth=50, scales=4,
+                             base_width=26, num_stages=4, out_indices=(3,)))
+    outs, v = run(bb, jnp.zeros((1, 64, 64, 3)))
+    assert outs[0].shape == (1, 2, 2, 2048)
+    assert "conv2_0" in v["params"]["layer1_0"]
+    assert "conv2_2" in v["params"]["layer1_0"]
+
+
+def test_backbone_dcn_stage():
+    bb = build_backbone(dict(type="ResNet", depth=50, num_stages=4,
+                             out_indices=(3,),
+                             stage_with_dcn=(False, False, False, True)))
+    outs, v = run(bb, jnp.zeros((1, 64, 64, 3)))
+    assert "conv_offset" in v["params"]["layer4_0"]["conv2"]
+
+
+def test_fpn_contract():
+    neck = build_neck(dict(type="FPN", out_channels=32, start_level=1,
+                           add_extra_convs="on_input", num_outs=5,
+                           norm_cfg=dict(type="GN", num_groups=8)))
+    ins = [jnp.zeros((1, 32, 32, 16)), jnp.zeros((1, 16, 16, 32)),
+           jnp.zeros((1, 8, 8, 64)), jnp.zeros((1, 4, 4, 128))]
+    outs, _ = run(neck, ins)
+    assert len(outs) == 5
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2, 1]
+    assert all(o.shape[-1] == 32 for o in outs)
+
+
+def test_pafpn_contract():
+    neck = build_neck(dict(type="PAFPN", out_channels=32, num_outs=4))
+    ins = [jnp.zeros((1, 32, 32, 16)), jnp.zeros((1, 16, 16, 32)),
+           jnp.zeros((1, 8, 8, 64)), jnp.zeros((1, 4, 4, 128))]
+    outs, _ = run(neck, ins)
+    assert len(outs) == 4
+    assert all(o.shape[-1] == 32 for o in outs)
+
+
+def test_bfp_contract():
+    neck = build_neck(dict(type="BFP", out_channels=32, refine_level=1))
+    ins = [jnp.zeros((1, 16, 16, 32)), jnp.zeros((1, 8, 8, 32)),
+           jnp.zeros((1, 4, 4, 32))]
+    outs, _ = run(neck, ins)
+    assert [o.shape for o in outs] == [i.shape for i in ins]
