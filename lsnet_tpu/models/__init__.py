@@ -44,6 +44,14 @@ def build_backbone(cfg: Dict[str, Any]):
     if kind == "Res2Net":
         cfg.setdefault("base_width", 26)
         return ResNet(block_type="res2net", **cfg)
+    if kind == "MobileNetV2":
+        from .backbones.mobilenet import MobileNetV2
+        cfg.pop("num_stages", None)
+        cfg.pop("stage_with_dcn", None)
+        cfg.pop("strides", None)
+        cfg.pop("dilations", None)
+        cfg.pop("remat", None)
+        return MobileNetV2(**cfg)
     raise KeyError(f"unknown backbone {kind}")
 
 

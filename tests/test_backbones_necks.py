@@ -84,3 +84,11 @@ def test_bfp_contract():
            jnp.zeros((1, 4, 4, 32))]
     outs, _ = run(neck, ins)
     assert [o.shape for o in outs] == [i.shape for i in ins]
+
+
+def test_mobilenet_v2():
+    bb = build_backbone(dict(type="MobileNetV2", widen_factor=1.0,
+                             out_indices=(1, 2, 4, 6)))
+    outs, _ = run(bb, jnp.zeros((1, 64, 64, 3)))
+    assert [o.shape[-1] for o in outs] == [24, 32, 96, 320]
+    assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
