@@ -42,16 +42,31 @@ def create_train_state(variables, tx) -> TrainState:
     )
 
 
-def make_train_step(model, tx, loss_cfg: LossConfig,
-                    mesh=None) -> Callable[[TrainState, Dict[str, Array]],
-                                           Tuple[TrainState, Dict[str, Array]]]:
+def make_train_step(model, tx, loss_cfg: LossConfig, mesh=None,
+                    mixed_precision: bool = True,
+                    loss_fn_impl=None) -> Callable[
+                        [TrainState, Dict[str, Array]],
+                        Tuple[TrainState, Dict[str, Array]]]:
     """Build the jitted train step.  If ``mesh`` is given, shard the batch
-    over the 'data' axis and replicate state."""
+    over the 'data' axis and replicate state.
+
+    ``mixed_precision``: bf16 compute with f32 master params (the TPU
+    equivalent of the reference fp16 hooks — no loss scaling needed)."""
+    from ..utils.precision import cast_floating
+    compute_loss = loss_fn_impl or lsnet_loss
 
     def loss_fn(params, batch_stats, batch):
-        outs = model.apply({"params": params, "batch_stats": batch_stats},
-                           batch["image"])
-        total, losses = lsnet_loss(outs, batch, loss_cfg)
+        if mixed_precision:
+            params_c = cast_floating(params, jnp.bfloat16)
+            stats_c = cast_floating(batch_stats, jnp.bfloat16)
+            image = batch["image"].astype(jnp.bfloat16)
+        else:
+            params_c, stats_c, image = params, batch_stats, batch["image"]
+        outs = model.apply({"params": params_c, "batch_stats": stats_c},
+                           image)
+        # losses/assignment in f32 for numerical fidelity
+        outs = cast_floating(outs, jnp.float32)
+        total, losses = compute_loss(outs, batch, loss_cfg)
         return total, losses
 
     def train_step(state: TrainState, batch):
