@@ -30,9 +30,13 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from ..layers import (ConvModule, DCNConvModule, PairedPyramidDeformConv,
-                      PyramidDeformConv, bias_init_with_prob, normal_init,
-                      kaiming_init)
+from ..layers import (ConvModule, DCNConvModule, MultiBranchDCNTower,
+                      PairedPyramidDeformConv, PyramidDeformConv,
+                      bias_init_with_prob, normal_init, kaiming_init)
+
+TASK_BRANCHES = {"bbox": ("cls", "bbox"), "segm": ("cls", "segm"),
+                 "pose_bbox": ("cls", "bbox", "pose"),
+                 "pose_kbox": ("cls", "pose")}
 
 Array = jax.Array
 
@@ -161,10 +165,20 @@ class LSHead(nn.Module):
         task = self.task
         nv = self.num_vectors
         nkp = self.num_kernel_points
-        self.cls_tower = self._tower("cls")
-        self.branches = []
+        if self.conv_module_type == "dcn":
+            # all towers in one fused multi-branch module (one gather per
+            # stacked block for every branch)
+            self.fused_tower = MultiBranchDCNTower(
+                branch_names=TASK_BRANCHES[task],
+                out_channels=self.feat_channels,
+                stacked_convs=self.stacked_convs,
+                kernel_size=self.dcn_kernel, num_groups=self.norm_groups,
+                name="towers")
+        else:
+            self.cls_tower = self._tower("cls")
         if task in ("bbox", "pose_bbox"):
-            self.bbox_tower = self._tower("bbox")
+            if self.conv_module_type != "dcn":
+                self.bbox_tower = self._tower("bbox")
             bbox_nv = 4
             bbox_out_dim = 4 * (bbox_nv + 1) + (nkp - bbox_nv - 1) * 2  # 28
             self.pts_bbox_init_conv = nn.Conv(
@@ -189,7 +203,8 @@ class LSHead(nn.Module):
             self.bbox_gn = nn.GroupNorm(num_groups=self.norm_groups,
                                         epsilon=1e-5, name="bbox_GN")
         if task == "segm":
-            self.segm_tower = self._tower("segm")
+            if self.conv_module_type != "dcn":
+                self.segm_tower = self._tower("segm")
             out_dim = (nv + 1) * 4
             self.pts_segm_init_conv = nn.Conv(
                 self.point_feat_channels, (3, 3), padding=1,
@@ -213,7 +228,8 @@ class LSHead(nn.Module):
             self.segm_gn = nn.GroupNorm(num_groups=self.norm_groups,
                                         epsilon=1e-5, name="segm_GN")
         if task in ("pose_bbox", "pose_kbox"):
-            self.pose_tower = self._tower("pose")
+            if self.conv_module_type != "dcn":
+                self.pose_tower = self._tower("pose")
             out_dim = (nv + 1) * 4
             self.pts_pose_init_conv = nn.Conv(
                 self.point_feat_channels, (3, 3), padding=1,
@@ -331,35 +347,43 @@ class LSHead(nn.Module):
             outs["pose_init"] = []
             outs["pose_refine"] = []
 
-        # stage 1 — towers run level-batched (DCN towers: one flat gather
-        # per block); init heads per level
-        def run_tower(tower, xs):
-            cur = list(xs)
-            for blk in tower:
-                if isinstance(blk, DCNConvModule):
-                    cur = blk(cur)
-                else:
-                    cur = [blk(f) for f in cur]
-            return cur
-
+        # stage 1 — towers: dcn mode fuses ALL branches' gathers per block;
+        # norm mode runs plain per-level convs. Init heads per level.
         task_feats, init_sps, dcn_offs = {}, {}, {}
-        cls_feats = run_tower(self.cls_tower, feats)
+        if self.conv_module_type == "dcn":
+            branch_feats = self.fused_tower(feats)
+            cls_feats = branch_feats["cls"]
+            for key in TASK_BRANCHES[task]:
+                if key != "cls":
+                    task_feats[key] = branch_feats[key]
+        else:
+            def run_plain(tower, xs):
+                cur = list(xs)
+                for blk in tower:
+                    cur = [blk(f) for f in cur]
+                return cur
+
+            cls_feats = run_plain(self.cls_tower, feats)
+            if task in ("bbox", "pose_bbox"):
+                task_feats["bbox"] = run_plain(self.bbox_tower, feats)
+            if task == "segm":
+                task_feats["segm"] = run_plain(self.segm_tower, feats)
+            if task in ("pose_bbox", "pose_kbox"):
+                task_feats["pose"] = run_plain(self.pose_tower, feats)
+
         if task in ("bbox", "pose_bbox"):
-            task_feats["bbox"] = run_tower(self.bbox_tower, feats)
             pairs = [self._init_branch(bf, self.pts_bbox_init_conv,
                                        self.pts_bbox_init_out, 20)
                      for bf in task_feats["bbox"]]
             init_sps["bbox"] = [p[0] for p in pairs]
             dcn_offs["bbox"] = [p[1] for p in pairs]
         if task == "segm":
-            task_feats["segm"] = run_tower(self.segm_tower, feats)
             pairs = [self._init_branch(sf, self.pts_segm_init_conv,
                                        self.pts_segm_init_out, None)
                      for sf in task_feats["segm"]]
             init_sps["segm"] = [p[0] for p in pairs]
             dcn_offs["segm"] = [p[1] for p in pairs]
         if task in ("pose_bbox", "pose_kbox"):
-            task_feats["pose"] = run_tower(self.pose_tower, feats)
             pairs = [self._init_branch(pf, self.pts_pose_init_conv,
                                        self.pts_pose_init_out, None)
                      for pf in task_feats["pose"]]

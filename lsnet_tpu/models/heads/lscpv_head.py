@@ -23,8 +23,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.corner_pool import bottom_pool, left_pool, right_pool, top_pool
-from ..layers import (ConvModule, DCNConvModule, PairedPyramidDeformConv,
-                      PyramidDeformConv, bias_init_with_prob, normal_init)
+from ..layers import (ConvModule, DCNConvModule, MultiBranchDCNTower,
+                      PairedPyramidDeformConv, PyramidDeformConv,
+                      bias_init_with_prob, normal_init)
 from .ls_head import (LSHead, branch_pyramid_jobs, dcn_base_offset,
                       signed_from_pairs)
 
@@ -101,8 +102,16 @@ class LSCPVHead(nn.Module):
 
     def setup(self):
         pad = (self.dcn_kernel - 1) // 2
-        self.cls_tower = self._tower("cls")
-        self.bbox_tower = self._tower("bbox")
+        if self.conv_module_type == "dcn":
+            self.fused_tower = MultiBranchDCNTower(
+                branch_names=("cls", "bbox"),
+                out_channels=self.feat_channels,
+                stacked_convs=self.stacked_convs,
+                kernel_size=self.dcn_kernel, num_groups=self.norm_groups,
+                name="towers")
+        else:
+            self.cls_tower = self._tower("cls")
+            self.bbox_tower = self._tower("bbox")
         shared = []
         for i in range(self.shared_stacked_convs):
             if self.conv_module_type == "norm":
@@ -206,8 +215,13 @@ class LSCPVHead(nn.Module):
                     cur = [blk(f) for f in cur]
             return cur
 
-        cls_feats_t = run_tower(self.cls_tower, feats)
-        bbox_feats_t = run_tower(self.bbox_tower, feats)
+        if self.conv_module_type == "dcn":
+            bf_all = self.fused_tower(feats)
+            cls_feats_t = bf_all["cls"]
+            bbox_feats_t = bf_all["bbox"]
+        else:
+            cls_feats_t = run_tower(self.cls_tower, feats)
+            bbox_feats_t = run_tower(self.bbox_tower, feats)
         shared_t = run_tower(self.shared_tower, bbox_feats_t)
 
         cls_feats, bbox_feats = [], []

@@ -19,6 +19,7 @@ from flax import linen as nn
 
 from ..ops.deform_conv import modulated_deform_conv, pyramid_deform_conv
 from ..ops.flat_deform import (SampleJob, dual_pyramid_dcn,
+                               multi_branch_modulated_dcn,
                                multilevel_modulated_dcn,
                                multilevel_pyramid_dcn)
 
@@ -195,6 +196,63 @@ class PyramidDeformConv(nn.Module):
         return pyramid_deform_conv(x, offset, weight.astype(x.dtype),
                                    scale_h, scale_w, stride=self.stride,
                                    padding=self.padding)
+
+
+class MultiBranchDCNTower(nn.Module):
+    """N parallel DCNv2+GN+ReLU towers (e.g. cls/bbox/pose) run in lockstep:
+    at each stacked block the branches' deformable gathers fuse into ONE
+    wide-row gather (`ops/flat_deform.multi_branch_modulated_dcn`) — on TPU
+    the gather is descriptor-rate bound, so N branches cost ~1.
+
+    All branches consume the same input feature list and keep independent
+    parameters, exactly like N separate `DCNConvModule` towers
+    (`lsnet_head.py:115-155` reference semantics).
+    """
+    branch_names: Tuple[str, ...]
+    out_channels: int
+    stacked_convs: int = 3
+    kernel_size: int = 3
+    num_groups: int = 32
+
+    @nn.compact
+    def __call__(self, feats):
+        k = self.kernel_size
+        K = k * k
+        pad = (k - 1) // 2
+        branch_feats = {b: list(feats) for b in self.branch_names}
+        for blk in range(self.stacked_convs):
+            branches = []
+            for b in self.branch_names:
+                xs = branch_feats[b]
+                cin = xs[0].shape[-1]
+                conv_offset = nn.Conv(
+                    3 * K, (k, k), padding=[(pad, pad)] * 2,
+                    kernel_init=nn.initializers.zeros,
+                    bias_init=nn.initializers.zeros,
+                    name=f"{b}_convs_{blk}_conv_offset")
+                offsets, masks = [], []
+                for f in xs:
+                    raw = conv_offset(f)
+                    o1, o2, m = jnp.split(raw, 3, axis=-1)
+                    offsets.append(jnp.concatenate([o1, o2], axis=-1))
+                    masks.append(jax.nn.sigmoid(m))
+                stdv = 1.0 / math.sqrt(cin * K)
+                weight = self.param(f"{b}_convs_{blk}_weight",
+                                    _centered_uniform(stdv),
+                                    (k, k, cin, self.out_channels),
+                                    jnp.float32)
+                bias = self.param(f"{b}_convs_{blk}_bias",
+                                  nn.initializers.zeros,
+                                  (self.out_channels,), jnp.float32)
+                branches.append(dict(feats=xs, offsets=offsets, masks=masks,
+                                     weight=weight.astype(xs[0].dtype),
+                                     bias=bias.astype(xs[0].dtype)))
+            outs = multi_branch_modulated_dcn(branches, padding=pad)
+            for bi, b in enumerate(self.branch_names):
+                gn = nn.GroupNorm(num_groups=self.num_groups, epsilon=1e-5,
+                                  name=f"{b}_convs_{blk}_bn")
+                branch_feats[b] = [nn.relu(gn(o)) for o in outs[bi]]
+        return branch_feats
 
 
 class PairedPyramidDeformConv(nn.Module):

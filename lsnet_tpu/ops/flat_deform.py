@@ -219,6 +219,60 @@ def dual_pyramid_dcn(feats_a: Sequence[Array], feats_b: Sequence[Array],
                                weight_a, weight_b)
 
 
+def multi_branch_modulated_dcn(branches, *, stride: int = 1,
+                               padding: int = 1, dilation: int = 1):
+    """N independent DCNv2 branches (own features/offsets/masks/weights)
+    fused into ONE gather.
+
+    The gather is descriptor-rate bound on TPU, so fetching
+    channel-concatenated rows for all branches at once costs the same time
+    as one branch — each branch then contracts its own channel slice.
+
+    branches: list of dicts with keys feats (list per level), offsets,
+    masks, weight (kh,kw,C,Cout), bias (or None).
+    Returns per-branch lists of per-level outputs.
+    """
+    n_br = len(branches)
+    Cs = [br["feats"][0].shape[-1] for br in branches]
+    starts = list(np.cumsum([0] + Cs[:-1]))
+    K = branches[0]["weight"].shape[0] * branches[0]["weight"].shape[1]
+    n_lvl = len(branches[0]["feats"])
+
+    def run(feats_cat, offsets_all, masks_all, weights, biases):
+        levels = pack_levels(feats_cat)
+        jobs = []
+        for bi in range(n_br):
+            for i in range(n_lvl):
+                jobs.append(SampleJob(i, offsets_all[bi][i],
+                                      masks_all[bi][i], (1.0, 1.0),
+                                      (stride, stride), (padding, padding),
+                                      (dilation, dilation)))
+        vals, job_sizes = _gather_weighted(levels, jobs, K)
+        B = levels.B
+        outs = []
+        row = 0
+        for bi in range(n_br):
+            jb = jobs[bi * n_lvl:(bi + 1) * n_lvl]
+            sz = job_sizes[bi * n_lvl:(bi + 1) * n_lvl]
+            n_rows = sum(B * p for p in sz)
+            sl = vals[row:row + n_rows, starts[bi]:starts[bi] + Cs[bi]]
+            o = _contract_and_split(sl, jb, sz, weights[bi], K, B)
+            if biases[bi] is not None:
+                o = [x + biases[bi].astype(x.dtype) for x in o]
+            outs.append(o)
+            row += n_rows
+        return outs
+
+    feats_cat = [jnp.concatenate([br["feats"][i] for br in branches], -1)
+                 for i in range(n_lvl)]
+    offsets_all = [br["offsets"] for br in branches]
+    masks_all = [br["masks"] for br in branches]
+    weights = [br["weight"] for br in branches]
+    biases = [br.get("bias") for br in branches]
+    return jax.checkpoint(run)(feats_cat, offsets_all, masks_all, weights,
+                               biases)
+
+
 def multilevel_modulated_dcn(feats: Sequence[Array],
                              offsets: Sequence[Array],
                              masks: Sequence[Array], weight: Array,
