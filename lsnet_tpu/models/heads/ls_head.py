@@ -140,6 +140,10 @@ class LSHead(nn.Module):
     conv_module_type: str = "norm"        # 'norm' | 'dcn'
     norm_groups: int = 32
     offset_scale_compat: bool = True
+    # fuse all tower branches into one wide-row gather per block — measured
+    # SLOWER on v5e (half the fetched channels are wasted; the gather is
+    # byte-bound at 1KB rows), kept as an option for other chips
+    fuse_towers: bool = False
 
     @property
     def dcn_kernel(self) -> int:
@@ -165,7 +169,7 @@ class LSHead(nn.Module):
         task = self.task
         nv = self.num_vectors
         nkp = self.num_kernel_points
-        if self.conv_module_type == "dcn":
+        if self.conv_module_type == "dcn" and self.fuse_towers:
             # all towers in one fused multi-branch module (one gather per
             # stacked block for every branch)
             self.fused_tower = MultiBranchDCNTower(
@@ -177,7 +181,7 @@ class LSHead(nn.Module):
         else:
             self.cls_tower = self._tower("cls")
         if task in ("bbox", "pose_bbox"):
-            if self.conv_module_type != "dcn":
+            if not (self.conv_module_type == "dcn" and self.fuse_towers):
                 self.bbox_tower = self._tower("bbox")
             bbox_nv = 4
             bbox_out_dim = 4 * (bbox_nv + 1) + (nkp - bbox_nv - 1) * 2  # 28
@@ -203,7 +207,7 @@ class LSHead(nn.Module):
             self.bbox_gn = nn.GroupNorm(num_groups=self.norm_groups,
                                         epsilon=1e-5, name="bbox_GN")
         if task == "segm":
-            if self.conv_module_type != "dcn":
+            if not (self.conv_module_type == "dcn" and self.fuse_towers):
                 self.segm_tower = self._tower("segm")
             out_dim = (nv + 1) * 4
             self.pts_segm_init_conv = nn.Conv(
@@ -228,7 +232,7 @@ class LSHead(nn.Module):
             self.segm_gn = nn.GroupNorm(num_groups=self.norm_groups,
                                         epsilon=1e-5, name="segm_GN")
         if task in ("pose_bbox", "pose_kbox"):
-            if self.conv_module_type != "dcn":
+            if not (self.conv_module_type == "dcn" and self.fuse_towers):
                 self.pose_tower = self._tower("pose")
             out_dim = (nv + 1) * 4
             self.pts_pose_init_conv = nn.Conv(
@@ -350,7 +354,7 @@ class LSHead(nn.Module):
         # stage 1 — towers: dcn mode fuses ALL branches' gathers per block;
         # norm mode runs plain per-level convs. Init heads per level.
         task_feats, init_sps, dcn_offs = {}, {}, {}
-        if self.conv_module_type == "dcn":
+        if self.conv_module_type == "dcn" and self.fuse_towers:
             branch_feats = self.fused_tower(feats)
             cls_feats = branch_feats["cls"]
             for key in TASK_BRANCHES[task]:
@@ -360,7 +364,10 @@ class LSHead(nn.Module):
             def run_plain(tower, xs):
                 cur = list(xs)
                 for blk in tower:
-                    cur = [blk(f) for f in cur]
+                    if isinstance(blk, DCNConvModule):
+                        cur = blk(cur)
+                    else:
+                        cur = [blk(f) for f in cur]
                 return cur
 
             cls_feats = run_plain(self.cls_tower, feats)

@@ -78,6 +78,7 @@ class LSCPVHead(nn.Module):
     conv_module_type: str = "norm"
     norm_groups: int = 32
     offset_scale_compat: bool = True
+    fuse_towers: bool = False
 
     @property
     def dcn_kernel(self) -> int:
@@ -102,7 +103,7 @@ class LSCPVHead(nn.Module):
 
     def setup(self):
         pad = (self.dcn_kernel - 1) // 2
-        if self.conv_module_type == "dcn":
+        if self.conv_module_type == "dcn" and self.fuse_towers:
             self.fused_tower = MultiBranchDCNTower(
                 branch_names=("cls", "bbox"),
                 out_channels=self.feat_channels,
@@ -215,7 +216,7 @@ class LSCPVHead(nn.Module):
                     cur = [blk(f) for f in cur]
             return cur
 
-        if self.conv_module_type == "dcn":
+        if self.conv_module_type == "dcn" and self.fuse_towers:
             bf_all = self.fused_tower(feats)
             cls_feats_t = bf_all["cls"]
             bbox_feats_t = bf_all["bbox"]

@@ -19,7 +19,7 @@ def cfg(task, nv, ncls=3):
                        num_classes=ncls, in_channels=32, feat_channels=32,
                        point_feat_channels=32, stacked_convs=1,
                        norm_cfg=dict(type="GN", num_groups=8),
-                       conv_module_type="dcn"),
+                       conv_module_type="dcn", fuse_towers=True),
     )
 
 
