@@ -44,6 +44,12 @@ def build_backbone(cfg: Dict[str, Any]):
     if kind == "Res2Net":
         cfg.setdefault("base_width", 26)
         return ResNet(block_type="res2net", **cfg)
+    if kind == "HRNet":
+        from .backbones.hrnet import HRNet
+        for k in ("num_stages", "stage_with_dcn", "strides", "dilations",
+                  "out_indices", "remat", "groups", "base_width", "scales"):
+            cfg.pop(k, None)
+        return HRNet(**cfg)
     if kind == "MobileNetV2":
         from .backbones.mobilenet import MobileNetV2
         cfg.pop("num_stages", None)

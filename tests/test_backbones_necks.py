@@ -92,3 +92,19 @@ def test_mobilenet_v2():
     outs, _ = run(bb, jnp.zeros((1, 64, 64, 3)))
     assert [o.shape[-1] for o in outs] == [24, 32, 96, 320]
     assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
+
+
+def test_hrnet_w32():
+    extra = dict(
+        stage1=dict(num_modules=1, num_branches=1, block="BOTTLENECK",
+                    num_blocks=(2,), num_channels=(16,)),
+        stage2=dict(num_modules=1, num_branches=2, block="BASIC",
+                    num_blocks=(2, 2), num_channels=(8, 16)),
+        stage3=dict(num_modules=1, num_branches=3, block="BASIC",
+                    num_blocks=(2, 2, 2), num_channels=(8, 16, 32)),
+        stage4=dict(num_modules=1, num_branches=4, block="BASIC",
+                    num_blocks=(2, 2, 2, 2), num_channels=(8, 16, 32, 64)))
+    bb = build_backbone(dict(type="HRNet", extra=extra))
+    outs, _ = run(bb, jnp.zeros((1, 64, 64, 3)))
+    assert [o.shape for o in outs] == [
+        (1, 16, 16, 8), (1, 8, 8, 16), (1, 4, 4, 32), (1, 2, 2, 64)]
