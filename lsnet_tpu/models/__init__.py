@@ -44,6 +44,18 @@ def build_backbone(cfg: Dict[str, Any]):
     if kind == "Res2Net":
         cfg.setdefault("base_width", 26)
         return ResNet(block_type="res2net", **cfg)
+    if kind == "RegNet":
+        from .backbones.extra import RegNet
+        for k in ("num_stages", "stage_with_dcn", "strides", "dilations",
+                  "remat"):
+            cfg.pop(k, None)
+        return RegNet(**cfg)
+    if kind == "HourglassNet":
+        from .backbones.extra import HourglassNet
+        for k in ("num_stages", "stage_with_dcn", "strides", "dilations",
+                  "out_indices", "remat"):
+            cfg.pop(k, None)
+        return HourglassNet(**cfg)
     if kind == "HRNet":
         from .backbones.hrnet import HRNet
         for k in ("num_stages", "stage_with_dcn", "strides", "dilations",

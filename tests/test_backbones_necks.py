@@ -108,3 +108,23 @@ def test_hrnet_w32():
     outs, _ = run(bb, jnp.zeros((1, 64, 64, 3)))
     assert [o.shape for o in outs] == [
         (1, 16, 16, 8), (1, 8, 8, 16), (1, 4, 4, 32), (1, 2, 2, 64)]
+
+
+def test_regnet():
+    bb = build_backbone(dict(
+        type="RegNet",
+        arch=dict(w0=24, wa=24.48, wm=2.54, depth=8, group_w=8),
+        stem_channels=16))
+    outs, _ = run(bb, jnp.zeros((1, 64, 64, 3)))
+    assert len(outs) >= 2
+    assert outs[0].shape[1] == 16  # stride 4 after stem+first stage
+
+
+def test_hourglass():
+    bb = build_backbone(dict(type="HourglassNet", num_stacks=2,
+                             downsample_times=2,
+                             stage_channels=(16, 16, 32),
+                             stage_blocks=(1, 1, 1), feat_channel=16))
+    outs, _ = run(bb, jnp.zeros((1, 64, 64, 3)))
+    assert len(outs) == 2
+    assert outs[0].shape == (1, 16, 16, 16)
