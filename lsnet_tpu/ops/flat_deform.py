@@ -106,11 +106,13 @@ def _job_coords(job: SampleJob, K: int) -> Tuple[Array, Array]:
     return ys, xs
 
 
-def _gather_weighted(levels: FlatLevels, jobs: Sequence[SampleJob], K: int
-                     ) -> Tuple[Array, List[int]]:
+def _gather_weighted(levels: FlatLevels, jobs: Sequence[SampleJob], K: int,
+                     split_at: Optional[int] = None):
     """One flat row-gather + tent-weighted corner combine for all jobs.
 
-    Returns (vals (B*ΣP, C), per-job sample counts P)."""
+    Returns (vals (B*ΣP, C), per-job sample counts P); with ``split_at``,
+    vals is a tuple of the two channel halves (separate contiguous
+    buffers accumulated in the same fusion)."""
     B = levels.B
     C = levels.flat.shape[-1]
     cdt = levels.flat.dtype
@@ -137,11 +139,22 @@ def _gather_weighted(levels: FlatLevels, jobs: Sequence[SampleJob], K: int
     w_cat = jnp.concatenate([w.reshape(4, -1) for w in all_w], axis=1)
     # corner-by-corner accumulation: peak transient is 2x(rows, C) instead
     # of (4*rows, C) — 4x less HBM and one fewer full write+read pass
-    vals = levels.flat[idx_cat[0]] * w_cat[0, :, None].astype(cdt)
+    if split_at is None:
+        vals = levels.flat[idx_cat[0]] * w_cat[0, :, None].astype(cdt)
+        for corner in range(1, 4):
+            vals = vals + (levels.flat[idx_cat[corner]]
+                           * w_cat[corner, :, None].astype(cdt))
+        return vals, job_sizes
+    g0 = levels.flat[idx_cat[0]]
+    w0 = w_cat[0, :, None].astype(cdt)
+    vals_a = g0[:, :split_at] * w0
+    vals_b = g0[:, split_at:] * w0
     for corner in range(1, 4):
-        vals = vals + (levels.flat[idx_cat[corner]]
-                       * w_cat[corner, :, None].astype(cdt))
-    return vals, job_sizes
+        g = levels.flat[idx_cat[corner]]
+        w = w_cat[corner, :, None].astype(cdt)
+        vals_a = vals_a + g[:, :split_at] * w
+        vals_b = vals_b + g[:, split_at:] * w
+    return (vals_a, vals_b), job_sizes
 
 
 def _contract_and_split(vals: Array, jobs: Sequence[SampleJob],
@@ -207,10 +220,14 @@ def dual_pyramid_dcn(feats_a: Sequence[Array], feats_b: Sequence[Array],
         levels = pack_levels(cat)
         jb = [j._replace(offset=o, mask=m)
               for j, (o, m) in zip(jobs, jobs_off)]
-        vals, job_sizes = _gather_weighted(levels, jb, K)  # (rows, Ca+Cb)
-        outs_a = _contract_and_split(vals[:, :Ca], jb, job_sizes, weight_a,
+        # accumulate the two channel halves as SEPARATE outputs of the same
+        # corner-accumulate fusion: avoids a post-hoc channel-split copy and
+        # keeps each half contiguous so the pre-matmul reshape is a bitcast
+        (vals_a, vals_b), job_sizes = _gather_weighted(
+            levels, jb, K, split_at=Ca)
+        outs_a = _contract_and_split(vals_a, jb, job_sizes, weight_a,
                                      K, levels.B)
-        outs_b = _contract_and_split(vals[:, Ca:], jb, job_sizes, weight_b,
+        outs_b = _contract_and_split(vals_b, jb, job_sizes, weight_b,
                                      K, levels.B)
         return outs_a, outs_b
 
