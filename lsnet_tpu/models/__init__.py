@@ -23,6 +23,22 @@ from .heads.ls_head import LSHead  # noqa: E402
 from .heads.lscpv_head import LSCPVHead  # noqa: E402
 from .detectors.lsnet import LSDetector  # noqa: E402
 
+# string-typed assembly (the builders below add the config-key translation
+# each flax module needs; custom components register here and are picked up
+# by the same builders)
+BACKBONES.register_module(module=ResNet)
+NECKS.register_module(module=FPN)
+HEADS.register_module(module=LSHead)
+HEADS.register_module(module=LSCPVHead)
+DETECTORS.register_module(module=LSDetector)
+
+
+def _registry_build(registry: Registry, kind: str, cfg: Dict[str, Any]):
+    cls = registry.get(kind)
+    if cls is None:
+        raise KeyError(f"unknown {registry.name} {kind}")
+    return cls(**cfg)
+
 
 def build_backbone(cfg: Dict[str, Any]):
     cfg = dict(cfg)
@@ -70,7 +86,7 @@ def build_backbone(cfg: Dict[str, Any]):
         cfg.pop("dilations", None)
         cfg.pop("remat", None)
         return MobileNetV2(**cfg)
-    raise KeyError(f"unknown backbone {kind}")
+    return _registry_build(BACKBONES, kind, cfg)
 
 
 def build_neck(cfg: Dict[str, Any]):
@@ -85,7 +101,7 @@ def build_neck(cfg: Dict[str, Any]):
     if kind == "BFP":
         from .necks.extra import BFP
         return BFP(**cfg)
-    raise KeyError(f"unknown neck {kind}")
+    return _registry_build(NECKS, kind, cfg)
 
 
 def build_head(cfg: Dict[str, Any]):
@@ -105,7 +121,7 @@ def build_head(cfg: Dict[str, Any]):
         if "num_points" in cfg:
             cfg["num_kernel_points"] = cfg.pop("num_points")
         return LSCPVHead(**cfg), loss_cfgs
-    raise KeyError(f"unknown head {kind}")
+    return _registry_build(HEADS, kind, cfg), loss_cfgs
 
 
 def build_detector(cfg: Dict[str, Any]):
@@ -120,4 +136,7 @@ def build_detector(cfg: Dict[str, Any]):
     head, loss_cfgs = build_head(cfg.pop("bbox_head"))
     if kind in ("LSDetector", "LSCPVDetector"):
         return LSDetector(backbone=backbone, neck=neck, head=head), loss_cfgs
-    raise KeyError(f"unknown detector {kind}")
+    det_cls = DETECTORS.get(kind)
+    if det_cls is None:
+        raise KeyError(f"unknown detector {kind}")
+    return det_cls(backbone=backbone, neck=neck, head=head), loss_cfgs
