@@ -25,10 +25,10 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 def main():
     from lsnet_tpu.models import build_detector
-    from __graft_entry__ import _flagship_cfg
+    from __graft_entry__ import _x101_flagship_cfg
 
-    model, _ = build_detector(_flagship_cfg())
-    B = 4
+    model, _ = build_detector(_x101_flagship_cfg())
+    B = int(os.environ.get("BENCH_BATCH", 4))
     H, W = 800, 1344
     rng = np.random.RandomState(0)
     images = jnp.array(rng.randn(B, H, W, 3).astype(np.float32))
@@ -60,7 +60,7 @@ def main():
     imgs_per_s = B * n_iters / dt
 
     print(json.dumps({
-        "metric": "lsnet_r50_dcn_fwd_throughput_800x1344_bf16",
+        "metric": "lsnet_x101_64x4d_dcn_fwd_throughput_800x1344_bf16",
         "value": round(imgs_per_s, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(imgs_per_s / 100.0, 3),

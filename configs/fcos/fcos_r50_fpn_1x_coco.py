@@ -1,0 +1,29 @@
+# FCOS R-50 1x (reference: code/configs/fcos/fcos_r50_caffe_fpn_gn-head_4x4_1x_coco.py)
+_base_ = [
+    '../_base_/datasets/coco_lsvr.py',
+    '../_base_/schedules/schedule_1x.py',
+    '../_base_/default_runtime.py',
+]
+model = dict(
+    type='FCOS',
+    pretrained='checkpoints/pretrained/resnet50.pth',
+    backbone=dict(type='ResNet', depth=50, num_stages=4,
+                  out_indices=(0, 1, 2, 3), frozen_stages=1,
+                  norm_cfg=dict(type='BN'), norm_eval=True, style='pytorch'),
+    neck=dict(type='FPN', in_channels=[256, 512, 1024, 2048],
+              out_channels=256, start_level=1, add_extra_convs='on_output',
+              num_outs=5),
+    bbox_head=dict(
+        type='FCOSHead', num_classes=80, in_channels=256, feat_channels=256,
+        stacked_convs=4, strides=[8, 16, 32, 64, 128],
+        regress_ranges=((-1, 64), (64, 128), (128, 256), (256, 512),
+                        (512, 100000000.0)),
+        loss_cls=dict(type='FocalLoss', use_sigmoid=True, gamma=2.0,
+                      alpha=0.25, loss_weight=1.0),
+        loss_bbox=dict(type='IoULoss', loss_weight=1.0),
+        loss_centerness=dict(type='CrossEntropyLoss', use_sigmoid=True,
+                             loss_weight=1.0)))
+train_cfg = dict(assigner=None, allowed_border=-1, pos_weight=-1)
+test_cfg = dict(nms_pre=1000, min_bbox_size=0, score_thr=0.05,
+                nms=dict(type='nms', iou_thr=0.5), max_per_img=100)
+optimizer = dict(lr=0.01)

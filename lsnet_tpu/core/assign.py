@@ -178,3 +178,57 @@ def atss_assign(bboxes: Array, point_valid: Array,
     gt_idx = jnp.where(max_overlaps > -INF / 2, argmax, -1).astype(jnp.int32)
     max_overlaps_out = jnp.where(max_overlaps > -INF / 2, max_overlaps, 0.0)
     return AssignResult(gt_idx, max_overlaps_out)
+
+
+class MaxIoUAssignResult(NamedTuple):
+    """Per-anchor assignment with an ignore band.
+
+    gt_idx: (N,) int32, -1 = background; ignore: (N,) bool — anchors whose
+    max IoU falls in [neg_iou_thr, pos_iou_thr) get zero loss weight
+    (reference MaxIoUAssigner's assigned==-1 band)."""
+    gt_idx: Array
+    max_overlaps: Array
+    ignore: Array
+
+
+def max_iou_assign(bboxes: Array, valid: Array, gt_bboxes: Array,
+                   gt_valid: Array, *, pos_iou_thr: float = 0.5,
+                   neg_iou_thr: float = 0.4, min_pos_iou: float = 0.0,
+                   gt_max_assign_all: bool = True) -> MaxIoUAssignResult:
+    """Classic anchor IoU assigner (reference
+    `/root/reference/code/mmdet/core/bbox/assigners/max_iou_assigner.py`):
+
+    1. anchor -> argmax-IoU GT where max IoU >= pos_iou_thr
+    2. max IoU < neg_iou_thr -> background; in between -> ignored
+    3. every GT claims its best anchor(s) when that IoU >= min_pos_iou
+    """
+    N = bboxes.shape[0]
+    M = gt_bboxes.shape[0]
+    overlaps = box_iou(bboxes, gt_bboxes)                        # (N, M)
+    overlaps = jnp.where(valid[:, None] & gt_valid[None, :], overlaps, -1.0)
+
+    max_ov = jnp.max(overlaps, axis=1)
+    arg_ov = jnp.argmax(overlaps, axis=1)
+    pos = max_ov >= pos_iou_thr
+    neg = (max_ov < neg_iou_thr) & (max_ov >= -0.5)
+    gt_idx = jnp.where(pos, arg_ov, -1).astype(jnp.int32)
+    ignore = ~pos & ~neg
+
+    # step 3: per-GT force-assign the best anchor(s)
+    gt_best = jnp.max(overlaps, axis=0)                          # (M,)
+    claim_ok = (gt_best >= min_pos_iou) & gt_valid & (gt_best > 0)
+    if gt_max_assign_all:
+        is_best = (overlaps == gt_best[None, :]) & claim_ok[None, :]
+    else:
+        best_anchor = jnp.argmax(overlaps, axis=0)               # (M,)
+        is_best = (jnp.zeros((N, M), bool)
+                   .at[best_anchor, jnp.arange(M)].set(True)
+                   & claim_ok[None, :])
+    # later GTs override earlier (reference sequential loop order)
+    claim_gt = jnp.where(
+        jnp.any(is_best, axis=1),
+        (is_best * jnp.arange(1, M + 1)[None, :]).max(axis=1) - 1, -1)
+    gt_idx = jnp.where(claim_gt >= 0, claim_gt, gt_idx).astype(jnp.int32)
+    ignore = ignore & (claim_gt < 0)
+    max_ov = jnp.where(max_ov < 0, 0.0, max_ov)
+    return MaxIoUAssignResult(gt_idx, max_ov, ignore)

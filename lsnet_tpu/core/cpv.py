@@ -337,6 +337,7 @@ def lscpv_decode(outs: Dict[str, Sequence[Array]], img_shapes: Array,
     def single(cls_list, lm_list, hm_list, off_list, img_shape, sf):
         mlvl_scores = []
         mlvl_bboxes = []
+        mlvl_exts = []
         for lvl in range(num_levels):
             h, w = shapes[lvl]
             s = cfg.point_strides[lvl]
@@ -349,7 +350,13 @@ def lscpv_decode(outs: Dict[str, Sequence[Array]], img_shapes: Array,
             scores = scores[topk]
             lm = lm[topk]
             xy = pts[topk, :2]
-            _, bbox = extreme_points2bbox(lm)
+            ext, bbox = extreme_points2bbox(lm)
+            # extreme-point vectors ride through CPV results, like the
+            # reference LSCPV get_bboxes tail (`lscpvnet_head.py:1012-1092`)
+            ext = ext * s + jnp.tile(xy, (1, 4))
+            ext = ext.at[:, 0::2].set(jnp.clip(ext[:, 0::2], 0, img_shape[1]))
+            ext = ext.at[:, 1::2].set(jnp.clip(ext[:, 1::2], 0, img_shape[0]))
+            mlvl_exts.append(ext)
             bbox = bbox * s + jnp.concatenate([xy, xy], -1)
             x1 = jnp.clip(bbox[:, 0], 0, img_shape[1])
             y1 = jnp.clip(bbox[:, 1], 0, img_shape[0])
@@ -369,8 +376,10 @@ def lscpv_decode(outs: Dict[str, Sequence[Array]], img_shapes: Array,
             mlvl_scores.append(scores)
         scores = jnp.concatenate(mlvl_scores)
         bboxes = jnp.concatenate(mlvl_bboxes)
+        exts = jnp.concatenate(mlvl_exts)
         if rescale:
             bboxes = bboxes / sf[None, :]
+            exts = exts / jnp.tile(sf[:2], 4)[None, :]
         T, C = scores.shape
         cand_scores = jnp.where(scores > cfg.score_thr, scores, NEG_INF)
         k = min(cfg.nms_pre, T * C)
@@ -381,11 +390,12 @@ def lscpv_decode(outs: Dict[str, Sequence[Array]], img_shapes: Array,
         keep_idx, keep_scores, keep_valid = batched_nms(
             nms_boxes, flat_scores, labels, cfg.nms_iou, cfg.max_per_img)
         z = keep_valid[:, None].astype(bboxes.dtype)
+        keep_ext = exts[cand][keep_idx] * z
         return Detections(
             nms_boxes[keep_idx] * z,
             jnp.where(keep_valid, keep_scores, 0.0),
             labels[keep_idx] * keep_valid,
-            jnp.zeros((cfg.max_per_img, 8), bboxes.dtype),
+            keep_ext,
             keep_valid)
 
     cls_flats = [m for m in cls_maps]

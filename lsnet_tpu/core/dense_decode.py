@@ -1,0 +1,72 @@
+"""Inference decode for the inherited dense heads (RetinaNet/FCOS/ATSS).
+
+Rebuilds the reference ``get_bboxes`` paths (`anchor_head.py`,
+`fcos_head.py`, `atss_head.py`) as one jittable batched function per head
+kind, reusing the LSNet on-device class-wise NMS
+(:func:`lsnet_tpu.core.decode.nms_candidates`). Landmark slots are
+zero-filled (these heads have none).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from . import points as P
+from .anchors import delta2bbox, distance2bbox, grid_anchors
+from .decode import Detections, TestConfig, nms_candidates
+from .dense_loss import DenseLossConfig, _fcos_points, atss_anchor_cfg
+
+Array = jax.Array
+
+
+def dense_decode(outs: Dict[str, Sequence[Array]], img_shapes: Array,
+                 scale_factors: Array, tcfg: TestConfig,
+                 lcfg: DenseLossConfig, rescale: bool = True) -> Detections:
+    """Batched decode + NMS for retina/fcos/atss head outputs."""
+    C = tcfg.num_classes
+    kind = lcfg.head
+    cls = jnp.concatenate([m.reshape(m.shape[0], -1, C)
+                           for m in outs["cls"]], axis=1)
+    reg = jnp.concatenate([m.reshape(m.shape[0], -1, 4)
+                           for m in outs["reg"]], axis=1)
+    if kind == "retina":
+        anchors_np, _ = grid_anchors(lcfg.anchor, lcfg.image_shape)
+        anchors = jnp.asarray(anchors_np)
+        ctr = None
+        stds = lcfg.target_stds
+    elif kind == "atss":
+        anchors_np, _ = grid_anchors(atss_anchor_cfg(lcfg), lcfg.image_shape)
+        anchors = jnp.asarray(anchors_np)
+        ctr = jnp.concatenate([m.reshape(m.shape[0], -1)
+                               for m in outs["centerness"]], axis=1)
+        stds = (0.1, 0.1, 0.2, 0.2)
+    else:  # fcos
+        pts, pt_stride, _ = _fcos_points(lcfg)
+        ctr = jnp.concatenate([m.reshape(m.shape[0], -1)
+                               for m in outs["centerness"]], axis=1)
+
+    def single(cls_i, reg_i, ctr_i, img_shape, sf):
+        scores = jax.nn.sigmoid(cls_i.astype(jnp.float32))
+        if kind == "fcos":
+            boxes = distance2bbox(pts, reg_i * pt_stride[:, None],
+                                  max_shape=img_shape)
+        else:
+            boxes = delta2bbox(anchors, reg_i, stds=stds,
+                               max_shape=img_shape)
+        if ctr_i is not None:
+            scores = scores * jax.nn.sigmoid(
+                ctr_i.astype(jnp.float32))[:, None]
+        if rescale:
+            boxes = boxes / sf[None, :]
+        lms = jnp.zeros((boxes.shape[0], 8), boxes.dtype)
+        return nms_candidates(boxes, lms, scores, tcfg)
+
+    if ctr is None:
+        ctr = jnp.zeros(cls.shape[:2], cls.dtype)
+        single_fn = lambda c, r, t, s, f: single(c, r, None, s, f)  # noqa
+    else:
+        single_fn = single
+    return jax.vmap(single_fn)(cls, reg, ctr, img_shapes, scale_factors)

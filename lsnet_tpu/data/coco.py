@@ -22,8 +22,9 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from .lsvr import extreme_points_with_center, unify_polygon
-from .transforms import (hflip_sample, normalize_image, pad_divisor_shape,
-                         pad_to_shape, resize_sample)
+from .transforms import (canvas_for_scale, hflip_sample, normalize_image,
+                         pad_divisor_shape, pad_to_shape, resize_sample,
+                         sample_scale)
 
 
 @dataclass
@@ -58,12 +59,24 @@ class DatasetConfig:
     img_prefix: str
     task: str = "bbox"               # bbox | segm | pose
     num_vectors: int = 4
+    # one (long, short) tuple, or a list of tuples for multi-scale training
+    # (reference Resize `multiscale_mode` semantics, transforms.py:79-176)
     img_scale: Tuple[int, int] = (1333, 800)
+    multiscale_mode: str = "range"   # 'range' | 'value'
+    ratio_range: Optional[Tuple[float, float]] = None
     flip_ratio: float = 0.5
     max_instances: int = 100
     size_divisor: int = 32
     filter_empty: bool = True
     min_size: int = 32               # reference `coco.py` _filter_imgs
+
+    def test_scale(self) -> Tuple[int, int]:
+        """Deterministic scale for test mode (first scale of the spec)."""
+        s = self.img_scale
+        if isinstance(s, (list, tuple)) and len(s) and \
+                isinstance(s[0], (list, tuple)):
+            return tuple(s[0])
+        return tuple(s)
 
 
 class CocoDataset:
@@ -72,6 +85,12 @@ class CocoDataset:
     def __init__(self, cfg: DatasetConfig, test_mode: bool = False):
         self.cfg = cfg
         self.test_mode = test_mode
+        if not test_mode:
+            # validate the scale spec eagerly: a bad multiscale config must
+            # fail at dataset construction, not minutes later in the first
+            # batch (after model compile)
+            sample_scale(cfg.img_scale, cfg.multiscale_mode, cfg.ratio_range,
+                         np.random.RandomState(0))
         self.coco = CocoAnnotations.load(cfg.ann_file,
                                          person_only=cfg.task == "pose")
         self.img_infos = self._filter(self.coco.img_infos)
@@ -155,7 +174,12 @@ class CocoDataset:
                                          np.zeros((0, self.cfg.num_vectors * 3),
                                                   np.float32))
 
-        sample = resize_sample(sample, self.cfg.img_scale)
+        if self.test_mode or rng is None:
+            scale = self.cfg.test_scale()
+        else:
+            scale = sample_scale(self.cfg.img_scale, self.cfg.multiscale_mode,
+                                 self.cfg.ratio_range, rng)
+        sample = resize_sample(sample, scale)
         if not self.test_mode and rng is not None and rng.rand() < self.cfg.flip_ratio:
             sample = hflip_sample(sample)
         sample["image"] = normalize_image(sample["image"])
@@ -207,36 +231,116 @@ def collate_batch(samples: Sequence[Dict], canvas_hw: Tuple[int, int],
 
 
 class DataLoader:
-    """Minimal epoch iterator: shuffled, per-host sharded, static canvas.
+    """Epoch iterator: shuffled, per-host sharded, orientation-grouped
+    static canvases, optional background prefetch.
 
     Replaces the reference GroupSampler/DistributedGroupSampler
-    (`code/mmdet/datasets/samplers/group_sampler.py`) — static shapes make
-    aspect-ratio grouping unnecessary.
+    (`code/mmdet/datasets/samplers/group_sampler.py`): batches are grouped
+    by image orientation (the reference's aspect-ratio flag,
+    `custom.py:158-168`) so each group pads onto one static canvas —
+    landscape images onto (short, long), portrait onto (long, short) —
+    keeping the number of compiled shapes at two.
     """
 
     def __init__(self, dataset: CocoDataset, batch_size: int,
-                 canvas_hw: Tuple[int, int], *, seed: int = 0,
-                 num_hosts: int = 1, host_id: int = 0, drop_last: bool = True):
+                 canvas_hw: Optional[Tuple[int, int]] = None, *,
+                 seed: int = 0, num_hosts: int = 1, host_id: int = 0,
+                 drop_last: bool = True, prefetch: int = 2):
         self.ds = dataset
         self.batch_size = batch_size
-        self.canvas_hw = canvas_hw
+        cfg = dataset.cfg
+        if canvas_hw is not None:
+            land = tuple(canvas_hw)
+        else:
+            land = canvas_for_scale(cfg.img_scale, portrait=False,
+                                    divisor=cfg.size_divisor,
+                                    ratio_range=cfg.ratio_range)
+        self.canvases = {"landscape": land, "portrait": (land[1], land[0])}
         self.seed = seed
         self.num_hosts = num_hosts
         self.host_id = host_id
         self.drop_last = drop_last
+        self.prefetch = prefetch
+        # orientation flag per dataset index (reference aspect-ratio group)
+        self._portrait = np.array(
+            [info["height"] > info["width"] for info in dataset.img_infos],
+            bool)
+
+    @property
+    def canvas_hw(self) -> Tuple[int, int]:
+        return self.canvases["landscape"]
 
     def steps_per_epoch(self) -> int:
-        n = len(self.ds) // self.num_hosts
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        n = 0
+        for flag in (False, True):
+            g = int((self._portrait == flag).sum()) // self.num_hosts
+            n += (g // self.batch_size if self.drop_last
+                  else -(-g // self.batch_size))
+        return n
+
+    def _batches(self, epoch_idx: int):
+        """Yield (indices, canvas) batches, grouped by orientation,
+        epoch-seeded shuffle (reference DistributedGroupSampler)."""
+        rng = np.random.RandomState(self.seed + epoch_idx)
+        plan = []
+        for flag, key in ((False, "landscape"), (True, "portrait")):
+            idxs = np.nonzero(self._portrait == flag)[0]
+            idxs = rng.permutation(idxs)[self.host_id::self.num_hosts]
+            nb = (len(idxs) // self.batch_size if self.drop_last
+                  else -(-len(idxs) // self.batch_size))
+            for b in range(nb):
+                plan.append((idxs[b * self.batch_size:
+                                  (b + 1) * self.batch_size],
+                             self.canvases[key]))
+        order = rng.permutation(len(plan))
+        for i in order:
+            yield plan[i]
+
+    def _make_batch(self, idxs, canvas, rng):
+        samples = [self.ds.get_sample(int(i), rng) for i in idxs]
+        return collate_batch(samples, canvas, self.ds.cfg.max_instances,
+                             self.ds.cfg.task, self.ds.cfg.num_vectors)
 
     def epoch(self, epoch_idx: int):
-        rng = np.random.RandomState(self.seed + epoch_idx)
-        order = rng.permutation(len(self.ds))
-        order = order[self.host_id::self.num_hosts]
-        nb = self.steps_per_epoch()
-        for b in range(nb):
-            idxs = order[b * self.batch_size:(b + 1) * self.batch_size]
-            samples = [self.ds.get_sample(int(i), rng) for i in idxs]
-            yield collate_batch(samples, self.canvas_hw,
-                                self.ds.cfg.max_instances, self.ds.cfg.task,
-                                self.ds.cfg.num_vectors)
+        rng = np.random.RandomState(self.seed + epoch_idx + 10_007)
+        if self.prefetch <= 0:
+            for idxs, canvas in self._batches(epoch_idx):
+                yield self._make_batch(idxs, canvas, rng)
+            return
+        # Background producer thread: overlaps host-side decode/augment with
+        # device compute (VERDICT r1 'async input pipeline').
+        import queue
+        import threading
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        SENTINEL = object()
+
+        def producer():
+            try:
+                for idxs, canvas in self._batches(epoch_idx):
+                    if stop.is_set():
+                        return
+                    q.put(self._make_batch(idxs, canvas, rng))
+            except BaseException as e:  # surface errors to the consumer
+                q.put(e)
+                return
+            q.put(SENTINEL)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                item = q.get()
+                if item is SENTINEL:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+            # drain so the producer unblocks and exits
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break

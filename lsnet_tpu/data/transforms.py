@@ -30,6 +30,81 @@ def rescale_size(h: int, w: int, scale: Tuple[int, int]) -> Tuple[int, int]:
     return int(h * f + 0.5), int(w * f + 0.5)
 
 
+def _as_scale_list(img_scale) -> list:
+    """Normalize an img_scale spec (one (l,s) tuple or a list of them) to a
+    list of tuples."""
+    if isinstance(img_scale, (list, tuple)) and len(img_scale) and \
+            isinstance(img_scale[0], (list, tuple, np.ndarray)):
+        return [tuple(int(v) for v in s) for s in img_scale]
+    return [tuple(int(v) for v in img_scale)]
+
+
+def sample_scale(img_scale, multiscale_mode: str = "range",
+                 ratio_range: Optional[Tuple[float, float]] = None,
+                 rng: Optional[np.random.RandomState] = None
+                 ) -> Tuple[int, int]:
+    """Draw one concrete scale for a training sample.
+
+    Reference semantics (`/root/reference/code/mmdet/datasets/pipelines/
+    transforms.py:79-176`):
+
+    * ``ratio_range`` given (single base scale): uniform ratio in range,
+      scale = (int(l*r), int(s*r))  — ``random_sample_ratio``.
+    * two scales + ``multiscale_mode='range'``: long edge ~ U[min_l, max_l],
+      short edge ~ U[min_s, max_s] independently — ``random_sample``.
+    * list + ``multiscale_mode='value'``: pick one — ``random_select``.
+    * single scale: returned as-is.
+    """
+    rng = rng if rng is not None else np.random
+    scales = _as_scale_list(img_scale)
+    if ratio_range is not None:
+        if len(scales) != 1:
+            raise ValueError("ratio_range requires a single base img_scale")
+        lo, hi = ratio_range
+        r = rng.random_sample() * (hi - lo) + lo
+        return (int(scales[0][0] * r), int(scales[0][1] * r))
+    if len(scales) == 1:
+        return scales[0]
+    if multiscale_mode == "range":
+        if len(scales) != 2:
+            raise ValueError("'range' mode needs exactly 2 img_scales")
+        longs = [max(s) for s in scales]
+        shorts = [min(s) for s in scales]
+        long_edge = int(rng.randint(min(longs), max(longs) + 1))
+        short_edge = int(rng.randint(min(shorts), max(shorts) + 1))
+        return (long_edge, short_edge)
+    if multiscale_mode == "value":
+        return scales[int(rng.randint(len(scales)))]
+    raise ValueError(f"unknown multiscale_mode {multiscale_mode!r}")
+
+
+def scale_bounds(img_scale,
+                 ratio_range: Optional[Tuple[float, float]] = None
+                 ) -> Tuple[int, int]:
+    """(max_long, max_short) over every scale the spec can produce."""
+    scales = _as_scale_list(img_scale)
+    max_long = max(max(s) for s in scales)
+    max_short = max(min(s) for s in scales)
+    if ratio_range is not None:
+        max_long = int(max_long * ratio_range[1])
+        max_short = int(max_short * ratio_range[1])
+    return max_long, max_short
+
+
+def canvas_for_scale(img_scale, *, portrait: bool = False, divisor: int = 32,
+                     ratio_range: Optional[Tuple[float, float]] = None
+                     ) -> Tuple[int, int]:
+    """Static canvas (H, W) covering every keep-ratio resize under the spec.
+
+    Landscape inputs (w >= h) resize to h <= max_short, w <= max_long;
+    portrait is the transpose. Two canvases (one per orientation) replace the
+    reference's aspect-ratio GroupSampler
+    (`code/mmdet/datasets/samplers/group_sampler.py`)."""
+    max_long, max_short = scale_bounds(img_scale, ratio_range)
+    hw = (max_long, max_short) if portrait else (max_short, max_long)
+    return pad_divisor_shape(*hw, divisor)
+
+
 def resize_image(img: np.ndarray, new_hw: Tuple[int, int]) -> np.ndarray:
     """Bilinear resize (pure numpy; cv2-free). img (H, W, C) uint8/float."""
     H, W = img.shape[:2]

@@ -21,6 +21,7 @@ from .backbones.resnet import ResNet  # noqa: E402
 from .necks.fpn import FPN  # noqa: E402
 from .heads.ls_head import LSHead  # noqa: E402
 from .heads.lscpv_head import LSCPVHead  # noqa: E402
+from .heads.dense import ATSSHead, FCOSHead, RetinaHead  # noqa: E402
 from .detectors.lsnet import LSDetector  # noqa: E402
 
 # string-typed assembly (the builders below add the config-key translation
@@ -30,6 +31,9 @@ BACKBONES.register_module(module=ResNet)
 NECKS.register_module(module=FPN)
 HEADS.register_module(module=LSHead)
 HEADS.register_module(module=LSCPVHead)
+HEADS.register_module(module=RetinaHead)
+HEADS.register_module(module=FCOSHead)
+HEADS.register_module(module=ATSSHead)
 DETECTORS.register_module(module=LSDetector)
 
 
@@ -59,6 +63,7 @@ def build_backbone(cfg: Dict[str, Any]):
         return ResNet(block_type="resnext", **cfg)
     if kind == "Res2Net":
         cfg.setdefault("base_width", 26)
+        cfg.setdefault("deep_stem", True)   # res2net101_v1d pretrain layout
         return ResNet(block_type="res2net", **cfg)
     if kind == "RegNet":
         from .backbones.extra import RegNet
@@ -101,6 +106,25 @@ def build_neck(cfg: Dict[str, Any]):
     if kind == "BFP":
         from .necks.extra import BFP
         return BFP(**cfg)
+    if kind == "NASFPN":
+        from .necks.extra import NASFPN
+        cfg.pop("add_extra_convs", None)
+        return NASFPN(**cfg)
+    if kind == "HRFPN":
+        from .necks.extra import HRFPN
+        return HRFPN(**cfg)
+    if kind in ("FPN_CARAFE", "FPNCarafe"):
+        from .necks.extra import FPNCarafe
+        cfg.pop("upsample_cfg", None)
+        cfg.pop("order", None)
+        return FPNCarafe(**cfg)
+    if kind == "RFP":
+        from .necks.extra import RFP
+        cfg.pop("rfp_backbone", None)
+        cfg.pop("aspp_out_channels", None)
+        cfg.pop("aspp_dilations", None)
+        cfg.pop("add_extra_convs", None)
+        return RFP(**cfg)
     return _registry_build(NECKS, kind, cfg)
 
 
@@ -121,6 +145,24 @@ def build_head(cfg: Dict[str, Any]):
         if "num_points" in cfg:
             cfg["num_kernel_points"] = cfg.pop("num_points")
         return LSCPVHead(**cfg), loss_cfgs
+    if kind in ("RetinaHead", "FCOSHead", "ATSSHead"):
+        # assigner/coder/anchor settings live in the loss config, not the
+        # flax module (mmdet folds them into the head; we keep the split)
+        for k in ("anchor_generator", "bbox_coder", "train_cfg", "test_cfg",
+                  "strides", "regress_ranges", "norm_groups",
+                  "centerness_on_reg", "center_sampling", "norm_on_bbox",
+                  "centerness_branch"):
+            v = cfg.pop(k, None)
+            if k == "anchor_generator" and v is not None and \
+                    kind == "RetinaHead":
+                cfg["num_base_anchors"] = (len(v.get("ratios", [0.5, 1, 2]))
+                                           * v.get("scales_per_octave", 3))
+            if k in ("strides", "centerness_on_reg") and v is not None and \
+                    kind == "FCOSHead":
+                cfg[k] = tuple(v) if k == "strides" else v
+        head_cls = {"RetinaHead": RetinaHead, "FCOSHead": FCOSHead,
+                    "ATSSHead": ATSSHead}[kind]
+        return head_cls(**cfg), loss_cfgs
     return _registry_build(HEADS, kind, cfg), loss_cfgs
 
 
@@ -134,7 +176,9 @@ def build_detector(cfg: Dict[str, Any]):
     backbone = build_backbone(cfg.pop("backbone"))
     neck = build_neck(cfg.pop("neck"))
     head, loss_cfgs = build_head(cfg.pop("bbox_head"))
-    if kind in ("LSDetector", "LSCPVDetector"):
+    if kind in ("LSDetector", "LSCPVDetector",
+                "RetinaNet", "FCOS", "ATSS", "SingleStageDetector"):
+        # all single-stage: backbone -> neck -> head assembly
         return LSDetector(backbone=backbone, neck=neck, head=head), loss_cfgs
     det_cls = DETECTORS.get(kind)
     if det_cls is None:

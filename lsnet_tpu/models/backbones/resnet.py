@@ -95,6 +95,7 @@ class Bottleneck(nn.Module):
             out = ModulatedDeformConvPack(width, 3, stride=self.stride,
                                           padding=self.dilation,
                                           dilation=self.dilation,
+                                          groups=self.groups,
                                           use_bias=False, name="conv2")(out)
         else:
             out = _conv(width, 3, self.stride, self.dilation,
@@ -190,6 +191,7 @@ class ResNet(nn.Module):
     base_width: int = 4          # ResNeXt (4) / Res2Net (26)
     scales: int = 4              # Res2Net
     base_channels: int = 64
+    deep_stem: bool = False      # Res2Net-v1d: 3x 3x3 convs replace the 7x7
     remat: bool = False
 
     @nn.compact
@@ -197,10 +199,20 @@ class ResNet(nn.Module):
         block_kind, stage_blocks = ARCH_SETTINGS[self.depth]
         stage_blocks = stage_blocks[: self.num_stages]
 
-        # stem: 7x7/2 + maxpool 3x3/2
-        x = _conv(self.base_channels, 7, 2, name="conv1")(x)
-        x = FrozenBatchNorm(name="bn1")(x)
-        x = nn.relu(x)
+        if self.deep_stem:
+            # reference `_make_stem_layer` deep_stem branch (resnet.py):
+            # 3x3/2 (C/2) -> 3x3 (C/2) -> 3x3 (C)
+            x = _conv(self.base_channels // 2, 3, 2, name="stem_conv1")(x)
+            x = nn.relu(FrozenBatchNorm(name="stem_bn1")(x))
+            x = _conv(self.base_channels // 2, 3, 1, name="stem_conv2")(x)
+            x = nn.relu(FrozenBatchNorm(name="stem_bn2")(x))
+            x = _conv(self.base_channels, 3, 1, name="stem_conv3")(x)
+            x = nn.relu(FrozenBatchNorm(name="stem_bn3")(x))
+        else:
+            # stem: 7x7/2 + maxpool 3x3/2
+            x = _conv(self.base_channels, 7, 2, name="conv1")(x)
+            x = FrozenBatchNorm(name="bn1")(x)
+            x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
         if self.frozen_stages >= 0:
             x = jax.lax.stop_gradient(x)
@@ -244,12 +256,13 @@ class ResNet(nn.Module):
         return tuple(outs)
 
 
-def frozen_param_paths(depth: int, frozen_stages: int) -> Tuple[str, ...]:
+def frozen_param_paths(depth: int, frozen_stages: int,
+                       deep_stem: bool = False) -> Tuple[str, ...]:
     """Prefixes of param collections that the optimizer must not touch
     (reference `_freeze_stages`, `resnet.py:536-556`)."""
     if frozen_stages < 0:
         return ()
-    prefixes = ["conv1", "bn1"]
+    prefixes = ["stem_"] if deep_stem else ["conv1", "bn1"]
     for s in range(1, frozen_stages + 1):
         prefixes.append(f"layer{s}_")
     return tuple(prefixes)

@@ -1,0 +1,136 @@
+"""Inherited dense-head zoo — RetinaNet / FCOS / ATSS (flax forward passes).
+
+These rebuild the reference's generic single-stage heads over the shared
+LSNet machinery (SURVEY §2.3 "capability surface"):
+
+* RetinaHead  `/root/reference/code/mmdet/models/dense_heads/retina_head.py`
+* FCOSHead    `.../fcos_head.py`
+* ATSSHead    `.../atss_head.py`
+
+Forward only (pure compute, NHWC multi-level in -> dict of per-level maps);
+losses live in :mod:`lsnet_tpu.core.dense_loss` and decoding in
+:mod:`lsnet_tpu.core.dense_decode`, mirroring the LSNet split.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+_prior_bias = float(-math.log((1 - 0.01) / 0.01))   # bias_init_with_prob(.01)
+
+
+def _conv3(out, name, bias_init=0.0):
+    return nn.Conv(out, (3, 3), padding=[(1, 1), (1, 1)],
+                   kernel_init=nn.initializers.normal(0.01),
+                   bias_init=nn.initializers.constant(bias_init), name=name)
+
+
+class _Tower(nn.Module):
+    """stacked 3x3 convs (+ optional GN) shared by all three heads."""
+    convs: int
+    channels: int
+    use_gn: bool
+    name_prefix: str
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        for i in range(self.convs):
+            x = _conv3(self.channels, f"{self.name_prefix}{i}")(x)
+            if self.use_gn:
+                x = nn.GroupNorm(num_groups=32, name=f"{self.name_prefix}{i}_gn")(x)
+            x = nn.relu(x)
+        return x
+
+
+class RetinaHead(nn.Module):
+    """Anchor-based focal-loss head (A = 9 anchors/cell)."""
+    num_classes: int
+    in_channels: int = 256
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    num_base_anchors: int = 9
+    norm_groups: int = 0          # retina uses no norm in towers
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array]) -> Dict[str, List[Array]]:
+        cls_tower = _Tower(self.stacked_convs, self.feat_channels, False,
+                           "cls_conv")
+        reg_tower = _Tower(self.stacked_convs, self.feat_channels, False,
+                           "reg_conv")
+        cls_out = _conv3(self.num_base_anchors * self.num_classes,
+                         "retina_cls", bias_init=_prior_bias)
+        reg_out = _conv3(self.num_base_anchors * 4, "retina_reg")
+        cls_maps, reg_maps = [], []
+        for f in feats:
+            cls_maps.append(cls_out(cls_tower(f)))
+            reg_maps.append(reg_out(reg_tower(f)))
+        return {"cls": cls_maps, "reg": reg_maps}
+
+
+class FCOSHead(nn.Module):
+    """Anchor-free per-point head: cls / (l,t,r,b) / centerness."""
+    num_classes: int
+    in_channels: int = 256
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    strides: Tuple[int, ...] = (8, 16, 32, 64, 128)
+    centerness_on_reg: bool = False
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array]) -> Dict[str, List[Array]]:
+        cls_tower = _Tower(self.stacked_convs, self.feat_channels, True,
+                           "cls_conv")
+        reg_tower = _Tower(self.stacked_convs, self.feat_channels, True,
+                           "reg_conv")
+        cls_out = _conv3(self.num_classes, "fcos_cls",
+                         bias_init=_prior_bias)
+        reg_out = _conv3(4, "fcos_reg")
+        ctr_out = _conv3(1, "fcos_centerness")
+        # per-level learnable scale on the reg output (reference Scale)
+        scales = self.param("scales", nn.initializers.ones,
+                            (len(feats),), jnp.float32)
+        cls_maps, reg_maps, ctr_maps = [], [], []
+        for i, f in enumerate(feats):
+            cf = cls_tower(f)
+            rf = reg_tower(f)
+            cls_maps.append(cls_out(cf))
+            # exp(scale * reg) -> positive distances (reference fcos_head)
+            reg_maps.append(jnp.exp(reg_out(rf) * scales[i].astype(f.dtype)))
+            ctr_maps.append(ctr_out(rf if self.centerness_on_reg else cf))
+        return {"cls": cls_maps, "reg": reg_maps, "centerness": ctr_maps}
+
+
+class ATSSHead(nn.Module):
+    """Single-anchor head with centerness + GIoU (reference atss_head.py)."""
+    num_classes: int
+    in_channels: int = 256
+    feat_channels: int = 256
+    stacked_convs: int = 4
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array]) -> Dict[str, List[Array]]:
+        cls_tower = _Tower(self.stacked_convs, self.feat_channels, True,
+                           "cls_conv")
+        reg_tower = _Tower(self.stacked_convs, self.feat_channels, True,
+                           "reg_conv")
+        cls_out = _conv3(self.num_classes, "atss_cls",
+                         bias_init=_prior_bias)
+        reg_out = _conv3(4, "atss_reg")
+        ctr_out = _conv3(1, "atss_centerness")
+        scales = self.param("scales", nn.initializers.ones,
+                            (len(feats),), jnp.float32)
+        cls_maps, reg_maps, ctr_maps = [], [], []
+        for i, f in enumerate(feats):
+            cf = cls_tower(f)
+            rf = reg_tower(f)
+            cls_maps.append(cls_out(cf))
+            reg_maps.append(reg_out(rf) * scales[i].astype(f.dtype))
+            ctr_maps.append(ctr_out(rf))
+        return {"cls": cls_maps, "reg": reg_maps, "centerness": ctr_maps}

@@ -129,6 +129,7 @@ class ModulatedDeformConvPack(nn.Module):
     stride: int = 1
     padding: int = 1
     dilation: int = 1
+    groups: int = 1              # grouped DCN (reference ResNeXt-DCN conv2)
     use_bias: bool = True
 
     @nn.compact
@@ -137,7 +138,7 @@ class ModulatedDeformConvPack(nn.Module):
         xs = list(x) if multi else [x]
         k = self.kernel_size
         K = k * k
-        cin = xs[0].shape[-1]
+        cin = xs[0].shape[-1] // self.groups
         conv_offset = nn.Conv(3 * K, (k, k), strides=(self.stride,) * 2,
                               padding=[(self.padding,) * 2] * 2,
                               kernel_dilation=(self.dilation,) * 2,
@@ -162,7 +163,7 @@ class ModulatedDeformConvPack(nn.Module):
             xs, offsets, masks, weight.astype(xs[0].dtype),
             None if bias is None else bias.astype(xs[0].dtype),
             stride=self.stride, padding=self.padding,
-            dilation=self.dilation)
+            dilation=self.dilation, groups=self.groups)
         return outs if multi else outs[0]
 
 

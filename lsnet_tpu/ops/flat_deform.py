@@ -158,18 +158,32 @@ def _gather_weighted(levels: FlatLevels, jobs: Sequence[SampleJob], K: int,
 
 
 def _contract_and_split(vals: Array, jobs: Sequence[SampleJob],
-                        job_sizes: List[int], weight: Array, K: int, B: int
-                        ) -> List[Array]:
-    """(rows, C) patches -> per-job (B, Ho, Wo, Cout) via one MXU matmul."""
+                        job_sizes: List[int], weight: Array, K: int, B: int,
+                        groups: int = 1) -> List[Array]:
+    """(rows, C) patches -> per-job (B, Ho, Wo, Cout) via one MXU matmul.
+
+    ``groups`` > 1: grouped convolution (reference ResNeXt-DCN conv2,
+    `code/mmdet/models/backbones/resnext.py` builds the DCN with
+    groups=64) — weight is (kh, kw, C/groups, Cout) with group-major Cout;
+    contraction becomes a G-batched matmul."""
     C = vals.shape[-1]
     cdt = vals.dtype
     cout = weight.shape[-1]
-    wmat = weight.reshape(K * C, cout).astype(cdt)
     total_px = vals.shape[0] // K
-    out = jax.lax.dot_general(
-        vals.reshape(total_px, K * C), wmat,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).astype(cdt)   # (total_px, Cout)
+    if groups == 1:
+        wmat = weight.reshape(K * C, cout).astype(cdt)
+        out = jax.lax.dot_general(
+            vals.reshape(total_px, K * C), wmat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(cdt)  # (total_px, Cout)
+    else:
+        G = groups
+        Cg, outG = C // G, cout // G
+        w = weight.reshape(K, Cg, G, outG).astype(cdt)
+        v = vals.reshape(total_px, K, G, Cg)
+        out = jnp.einsum("pkgc,kcgj->pgj", v, w,
+                         preferred_element_type=jnp.float32
+                         ).astype(cdt).reshape(total_px, cout)
     outs: List[Array] = []
     row = 0
     for job, P in zip(jobs, job_sizes):
@@ -181,7 +195,8 @@ def _contract_and_split(vals: Array, jobs: Sequence[SampleJob],
 
 
 def batched_deform_matmul(levels: FlatLevels, jobs: Sequence[SampleJob],
-                          weight: Array, K: int) -> List[Array]:
+                          weight: Array, K: int,
+                          groups: int = 1) -> List[Array]:
     """Run all jobs through one gather + one matmul.
 
     weight: (kh, kw, C, Cout) shared conv kernel.
@@ -197,7 +212,8 @@ def batched_deform_matmul(levels: FlatLevels, jobs: Sequence[SampleJob],
         jb = [j._replace(offset=o, mask=m)
               for j, (o, m) in zip(jobs, jobs_off)]
         vals, job_sizes = _gather_weighted(lv, jb, K)
-        return _contract_and_split(vals, jb, job_sizes, weight, K, lv.B)
+        return _contract_and_split(vals, jb, job_sizes, weight, K, lv.B,
+                                   groups)
 
     jobs_off = [(j.offset, j.mask) for j in jobs]
     return jax.checkpoint(run)(levels.flat, jobs_off, weight)
@@ -295,7 +311,8 @@ def multilevel_modulated_dcn(feats: Sequence[Array],
                              masks: Sequence[Array], weight: Array,
                              bias: Optional[Array] = None, *,
                              stride: int = 1, padding: int = 1,
-                             dilation: int = 1) -> List[Array]:
+                             dilation: int = 1,
+                             groups: int = 1) -> List[Array]:
     """DCNv2 applied to every FPN level with shared weights — one gather,
     one matmul (used by the head towers)."""
     K = weight.shape[0] * weight.shape[1]
@@ -304,7 +321,7 @@ def multilevel_modulated_dcn(feats: Sequence[Array],
                       (stride, stride), (padding, padding),
                       (dilation, dilation))
             for i in range(len(feats))]
-    outs = batched_deform_matmul(levels, jobs, weight, K)
+    outs = batched_deform_matmul(levels, jobs, weight, K, groups)
     if bias is not None:
         outs = [o + bias.astype(o.dtype) for o in outs]
     return outs

@@ -57,13 +57,15 @@ def initialize_distributed(coordinator: Optional[str] = None,
     runtime environment automatically when called with no args."""
     if jax.process_count() > 1:
         return  # already initialized
-    try:
-        if coordinator is not None:
-            jax.distributed.initialize(coordinator, num_processes, process_id)
-        elif num_processes is not None:
-            jax.distributed.initialize()
-    except Exception:
-        pass  # single-process fallback
+    if coordinator is None and num_processes is None:
+        return  # single-host run, nothing to bootstrap
+    # Distributed args were given explicitly: a failed bootstrap must NOT
+    # degrade to a silent single-host run (it would corrupt a multi-chip
+    # training job) — propagate the error.
+    if coordinator is not None:
+        jax.distributed.initialize(coordinator, num_processes, process_id)
+    else:
+        jax.distributed.initialize()
 
 
 def is_main_process() -> bool:

@@ -53,14 +53,33 @@ def _t2j(t) -> np.ndarray:
     return np.asarray(t.detach().cpu().numpy())
 
 
-def convert_torch_resnet(state_dict: Dict[str, Any], depth: int = 50
-                         ) -> Tuple[Dict, Dict]:
-    """torchvision ResNet ``state_dict`` -> (params, batch_stats) subtrees
-    for :class:`lsnet_tpu.models.backbones.resnet.ResNet`.
+# mmdet deep-stem Sequential indices -> our module names
+# (`code/mmdet/models/backbones/resnet.py` `_make_stem_layer` deep_stem:
+#  Sequential(conv, norm, relu, conv, norm, relu, conv, norm, relu))
+_DEEP_STEM_MAP = {"0": "stem_conv1", "1": "stem_bn1",
+                  "3": "stem_conv2", "4": "stem_bn2",
+                  "6": "stem_conv3", "7": "stem_bn3"}
 
-    Layer naming: torch ``layerS.B.convN`` -> ours ``layer{S}_{B}.convN``;
-    stem ``conv1/bn1`` keeps its name; downsample ``layerS.B.downsample.{0,1}``
-    -> ``downsample_conv`` / ``downsample_bn``.
+
+def convert_torch_backbone(state_dict: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    """torch backbone ``state_dict`` -> (params, batch_stats) subtrees for
+    :class:`lsnet_tpu.models.backbones.resnet.ResNet`.
+
+    Covers the full key space the reference loads
+    (`/root/reference/code/mmcv/mmcv/runner/checkpoint.py` +
+    `code/mmdet/ops/dcn/deform_conv.py:410-435`):
+
+    * torchvision ResNet/ResNeXt naming ``layerS.B.convN`` /
+      ``downsample.{0,1}``
+    * mmdet full-detector dicts: ``backbone.``-prefixed keys (neck/head
+      keys are out of scope for a backbone load and skipped)
+    * DCN blocks: ``convN.conv_offset.{weight,bias}`` plus the main
+      ``convN.weight`` mapping to the DCN-pack ``weight`` param
+    * Res2Net (v1d): ``convs.{i}`` / ``bns.{i}`` scale branches, deep stem
+      ``stem.{0..7}``, avg-down ``downsample.{0,1,2}``
+
+    Unrecognized *backbone* keys raise (a partial load must never pass
+    silently).
     """
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
@@ -71,29 +90,64 @@ def convert_torch_resnet(state_dict: Dict[str, Any], depth: int = 50
             node = node.setdefault(p, {})
         node[path[-1]] = leaf
 
+    # normalize prefixes
+    items: Dict[str, Any] = {}
+    has_backbone_prefix = any(k.startswith("backbone.")
+                              or k.startswith("module.backbone.")
+                              for k in state_dict)
     for key, val in state_dict.items():
+        k = key[len("module."):] if key.startswith("module.") else key
+        if has_backbone_prefix:
+            if not k.startswith("backbone."):
+                continue                      # neck./bbox_head. etc.
+            k = k[len("backbone."):]
+        items[k] = val
+
+    # which conv modules are DCN packs (they have a sibling conv_offset)
+    dcn_convs = {k.rsplit(".conv_offset.", 1)[0]
+                 for k in items if ".conv_offset." in k}
+
+    unconsumed = []
+    for key, val in items.items():
         if key.endswith("num_batches_tracked") or key.startswith("fc."):
             continue
         parts = key.split(".")
+        arr = _t2j(val) if hasattr(val, "detach") else np.asarray(val)
+        mod: Optional[str] = None
+        rest = None
         if parts[0] in ("conv1", "bn1"):
             mod, rest = parts[0], parts[1:]
+        elif parts[0] == "stem":
+            mod = _DEEP_STEM_MAP.get(parts[1])
+            rest = parts[2:]
         else:
             m = re.fullmatch(r"layer(\d+)", parts[0])
-            if not m:
-                continue
-            mod = f"layer{m.group(1)}_{parts[1]}"
-            rest = parts[2:]
-            if rest[0] == "downsample":
-                rest = (["downsample_conv"] if rest[1] == "0"
-                        else ["downsample_bn"]) + rest[2:]
-        sub = rest[:-1]
-        leafname = rest[-1]
-        arr = _t2j(val) if hasattr(val, "detach") else np.asarray(val)
+            if m:
+                mod = f"layer{m.group(1)}_{parts[1]}"
+                rest = parts[2:]
+                if rest[0] == "downsample":
+                    # Sequential may be (conv, bn) or (avgpool, conv, bn):
+                    # identify by tensor rank, not index
+                    rest = (["downsample_conv"] if arr.ndim == 4
+                            else ["downsample_bn"]) + rest[2:]
+                elif rest[0] in ("convs", "bns"):     # Res2Net scale branch
+                    base = "conv2" if rest[0] == "convs" else "bn2"
+                    rest = [f"{base}_{rest[1]}"] + rest[2:]
+        if mod is None or rest is None or not rest:
+            unconsumed.append(key)
+            continue
+        sub, leafname = rest[:-1], rest[-1]
         target = [mod] + sub
-        if leafname == "weight" and arr.ndim == 4:      # conv OIHW -> HWIO
-            put(params, target + ["kernel"], jnp.asarray(
-                arr.transpose(2, 3, 1, 0)))
-        elif leafname == "weight":                       # bn gamma
+        src_mod = key.rsplit(".", 1)[0]
+        is_offset = sub and sub[-1] == "conv_offset"
+        # conv_offset is an nn.Conv in our DCN pack -> leaf 'kernel'; the
+        # DCN main weight is a raw param named 'weight' (both HWIO)
+        if leafname == "weight" and arr.ndim == 4:
+            leaf = ("kernel" if (is_offset or src_mod not in dcn_convs)
+                    else "weight")
+            put(params, target + [leaf],
+                jnp.asarray(arr.transpose(2, 3, 1, 0)))
+        elif leafname == "weight" and arr.ndim == 1:     # bn gamma
             put(params, target + ["scale"], jnp.asarray(arr))
         elif leafname == "bias":
             put(params, target + ["bias"], jnp.asarray(arr))
@@ -101,7 +155,19 @@ def convert_torch_resnet(state_dict: Dict[str, Any], depth: int = 50
             put(stats, target + ["mean"], jnp.asarray(arr))
         elif leafname == "running_var":
             put(stats, target + ["var"], jnp.asarray(arr))
+        else:
+            unconsumed.append(key)
+    if unconsumed:
+        raise ValueError(
+            "torch checkpoint keys not recognized by the backbone "
+            f"converter (partial load refused): {sorted(unconsumed)[:20]}")
     return params, stats
+
+
+def convert_torch_resnet(state_dict: Dict[str, Any], depth: int = 50
+                         ) -> Tuple[Dict, Dict]:
+    """Backward-compatible alias of :func:`convert_torch_backbone`."""
+    return convert_torch_backbone(state_dict)
 
 
 def load_pretrained_backbone(variables: Dict, torch_path: str) -> Dict:
@@ -113,7 +179,7 @@ def load_pretrained_backbone(variables: Dict, torch_path: str) -> Dict:
     sd = torch.load(torch_path, map_location="cpu", weights_only=False)
     if "state_dict" in sd:
         sd = sd["state_dict"]
-    params, stats = convert_torch_resnet(sd)
+    params, stats = convert_torch_backbone(sd)
 
     def merge(dst, src, path=""):
         for k, v in src.items():

@@ -61,14 +61,48 @@ def loss_cfg_from(cfg, image_shape) -> LossConfig:
     )
 
 
+def make_loss_for(cfg, image_shape):
+    """(loss_fn, loss_cfg) dispatch over the head family: LSHead ->
+    lsnet_loss, LSCPVHead -> lscpv_loss, Retina/FCOS/ATSS -> dense_loss."""
+    head_type = cfg.model.bbox_head.type
+    if head_type == "LSHead":
+        from ..core.loss import lsnet_loss
+        lcfg = loss_cfg_from(cfg, image_shape)
+        return lambda outs, batch: lsnet_loss(outs, batch, lcfg)
+    if head_type == "LSCPVHead":
+        from ..core.cpv import CPVLossConfig, lscpv_loss
+        ccfg = CPVLossConfig(base=loss_cfg_from(cfg, image_shape))
+        return lambda outs, batch: lscpv_loss(outs, batch, ccfg)
+    from ..core.dense_loss import DenseLossConfig, dense_loss
+    head = cfg.model.bbox_head
+    kind = {"RetinaHead": "retina", "FCOSHead": "fcos",
+            "ATSSHead": "atss"}[head_type]
+    tc = cfg.get("train_cfg", {})
+    assigner = tc.get("assigner", {})
+    dcfg = DenseLossConfig(
+        image_shape=image_shape,
+        num_classes=head.num_classes,
+        head=kind,
+        strides=tuple(head.get("strides", (8, 16, 32, 64, 128))),
+        pos_iou_thr=assigner.get("pos_iou_thr", 0.5),
+        neg_iou_thr=assigner.get("neg_iou_thr", 0.4),
+        min_pos_iou=assigner.get("min_pos_iou", 0.0),
+        topk=assigner.get("topk", 9),
+        regress_ranges=tuple(tuple(r) for r in head.get(
+            "regress_ranges",
+            ((-1, 64), (64, 128), (128, 256), (256, 512), (512, 1e8)))),
+    )
+    return lambda outs, batch: dense_loss(outs, batch, dcfg)
+
+
 def test_cfg_from(cfg, image_shape) -> TestConfig:
     head = cfg.model.bbox_head
     tc = cfg.test_cfg
     return TestConfig(
         image_shape=image_shape,
         num_classes=head.num_classes,
-        task=head.task,
-        num_vectors=head.num_vectors,
+        task=head.get("task", "bbox"),
+        num_vectors=head.get("num_vectors", 4),
         point_strides=tuple(head.get("point_strides", (8, 16, 32, 64, 128))),
         nms_pre=tc.get("nms_pre", 1000),
         score_thr=tc.get("score_thr", 0.05),
@@ -91,21 +125,30 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
 
     head = cfg.model.bbox_head
     task = {"bbox": "bbox", "segm": "segm",
-            "pose_bbox": "pose", "pose_kbox": "pose"}[head.task]
-    canvas = tuple(cfg.get("canvas_shape", (800, 1344)))
+            "pose_bbox": "pose", "pose_kbox": "pose"}[head.get("task", "bbox")]
     data_cfg = cfg.data
-    ds = CocoDataset(DatasetConfig(
+    raw_scale = data_cfg.train.get("img_scale", (1333, 800))
+    img_scale = (tuple(tuple(s) for s in raw_scale)
+                 if isinstance(raw_scale[0], (list, tuple)) else
+                 tuple(raw_scale))
+    from ..data.extra import build_dataset
+    ds = build_dataset(data_cfg.train.get("type", "CocoDataset"), DatasetConfig(
         ann_file=data_cfg.train.ann_file,
         img_prefix=data_cfg.train.img_prefix,
-        task=task, num_vectors=head.num_vectors,
-        img_scale=tuple(data_cfg.train.get("img_scale", (1333, 800))),
+        task=task, num_vectors=head.get("num_vectors", 4),
+        img_scale=img_scale,
+        multiscale_mode=data_cfg.train.get("multiscale_mode", "range"),
+        ratio_range=data_cfg.train.get("ratio_range"),
         max_instances=cfg.get("max_instances", 100)))
     n_dev = jax.device_count()
     per_dev = data_cfg.get("samples_per_gpu", 2)
     batch_size = per_dev * n_dev
-    loader = DataLoader(ds, batch_size, canvas,
+    explicit_canvas = cfg.get("canvas_shape")
+    loader = DataLoader(ds, batch_size,
+                        tuple(explicit_canvas) if explicit_canvas else None,
                         num_hosts=jax.process_count(),
                         host_id=jax.process_index())
+    canvas = loader.canvas_hw
     steps_per_epoch = (max_iters_per_epoch
                        or loader.steps_per_epoch())
 
@@ -120,17 +163,23 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
 
     depth = cfg.model.backbone.get("depth", 50)
     frozen = cfg.model.backbone.get("frozen_stages", -1)
+    deep_stem = (cfg.model.backbone.get("deep_stem")
+                 or cfg.model.backbone.get("type") == "Res2Net")
     mask = make_frozen_mask(variables["params"],
-                            frozen_param_paths(depth, frozen))
+                            frozen_param_paths(depth, frozen, deep_stem))
     epochs = total_epochs or cfg.get("total_epochs", 12)
-    decay = cfg.get("lr_config", {}).get("step", [8, 11])
+    from .optim import build_lr_schedule
+    lr_cfg = cfg.get("lr_config", {}) or {}
+    base_lr = cfg.optimizer.get("lr", 0.01)
+    lr_sched = build_lr_schedule(dict(lr_cfg), base_lr, steps_per_epoch,
+                                 epochs)
     tx, schedule = build_optimizer(
-        cfg.optimizer.get("lr", 0.01), steps_per_epoch, decay,
+        base_lr, steps_per_epoch, lr_cfg.get("step", [8, 11]),
         momentum=cfg.optimizer.get("momentum", 0.9),
         weight_decay=cfg.optimizer.get("weight_decay", 1e-4),
         clip_norm=cfg.get("optimizer_config", {}).get(
             "grad_clip", {}).get("max_norm", 35.0),
-        trainable_mask=mask)
+        trainable_mask=mask, schedule=lr_sched)
     state = create_train_state(variables, tx)
 
     start_epoch = 0
@@ -140,16 +189,26 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
         print(f"resumed from {resume_from} at epoch {start_epoch}")
 
     mesh = make_mesh(n_data=n_dev)
-    lcfg = loss_cfg_from(cfg, canvas)
-    step_fn = make_train_step(model, tx, lcfg, mesh=mesh)
+    # one jitted step per canvas orientation (two static shapes total —
+    # the TPU analogue of the reference aspect-ratio GroupSampler)
+    step_fns: Dict[Tuple[int, int], Any] = {}
+
+    def step_for(canvas_hw: Tuple[int, int]):
+        if canvas_hw not in step_fns:
+            loss_fn = make_loss_for(cfg, canvas_hw)
+            step_fns[canvas_hw] = make_train_step(
+                model, tx, None, mesh=mesh,
+                loss_fn_impl=lambda outs, batch, _cfg: loss_fn(outs, batch))
+        return step_fns[canvas_hw]
 
     with mesh:
         for epoch in range(start_epoch, epochs):
             for it, batch in enumerate(loader.epoch(epoch)):
                 if max_iters_per_epoch and it >= max_iters_per_epoch:
                     break
+                batch_canvas = tuple(batch["image"].shape[1:3])
                 sharded = shard_batch_pytree(batch, mesh)
-                state, metrics = step_fn(state, sharded)
+                state, metrics = step_for(batch_canvas)(state, sharded)
                 lr = float(schedule(int(state.step)))
                 logger.log_iter(epoch + 1, it, steps_per_epoch, lr,
                                 {k: float(v) for k, v in metrics.items()})
@@ -166,19 +225,45 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
 
 def evaluate_detector(cfg, model, state, canvas, *, batch_size: int = 8,
                       max_images: Optional[int] = None) -> Dict[str, float]:
-    """Reference EvalHook equivalent: run val set, COCO metrics."""
+    """Reference EvalHook equivalent: run val set, COCO metrics.
+
+    Batches are grouped by image orientation so each group pads onto one
+    static canvas (``canvas`` is the landscape one; portrait is its
+    transpose)."""
     head = cfg.model.bbox_head
     task = {"bbox": "bbox", "segm": "segm",
-            "pose_bbox": "pose", "pose_kbox": "pose"}[head.task]
+            "pose_bbox": "pose", "pose_kbox": "pose"}[head.get("task", "bbox")]
     ds = CocoDataset(DatasetConfig(
         ann_file=cfg.data.val.ann_file, img_prefix=cfg.data.val.img_prefix,
-        task=task, num_vectors=head.num_vectors, filter_empty=False,
+        task=task, num_vectors=head.get("num_vectors", 4), filter_empty=False,
         img_scale=tuple(cfg.data.val.get("img_scale", (1333, 800)))),
         test_mode=True)
-    tcfg = test_cfg_from(cfg, canvas)
     fwd = make_eval_forward(model)
-    decode = jax.jit(lambda outs, shapes, sf: lsnet_decode(
-        outs, shapes, sf, tcfg))
+    tcfgs = {}
+    head_type = cfg.model.bbox_head.type
+
+    def decode_for(canvas_hw):
+        if canvas_hw not in tcfgs:
+            tcfg = test_cfg_from(cfg, canvas_hw)
+            if head_type in ("RetinaHead", "FCOSHead", "ATSSHead"):
+                from ..core.dense_decode import dense_decode
+                from ..core.dense_loss import DenseLossConfig
+                kind = {"RetinaHead": "retina", "FCOSHead": "fcos",
+                        "ATSSHead": "atss"}[head_type]
+                dcfg = DenseLossConfig(image_shape=canvas_hw,
+                                       num_classes=tcfg.num_classes,
+                                       head=kind)
+                fn = jax.jit(lambda outs, shapes, sf: dense_decode(
+                    outs, shapes, sf, tcfg, dcfg))
+            elif head_type == "LSCPVHead":
+                from ..core.cpv import lscpv_decode
+                fn = jax.jit(lambda outs, shapes, sf: lscpv_decode(
+                    outs, shapes, sf, tcfg))
+            else:
+                fn = jax.jit(lambda outs, shapes, sf: lsnet_decode(
+                    outs, shapes, sf, tcfg))
+            tcfgs[canvas_hw] = fn
+        return tcfgs[canvas_hw]
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     n = len(ds) if max_images is None else min(max_images, len(ds))
@@ -186,22 +271,28 @@ def evaluate_detector(cfg, model, state, canvas, *, batch_size: int = 8,
     img_sizes = {info["id"]: (info["height"], info["width"])
                  for info in ds.coco.img_infos}
     label_to_cat = {v: k for k, v in ds.coco.cat_to_label.items()}
-    for s0 in range(0, n, batch_size):
-        idxs = range(s0, min(s0 + batch_size, n))
-        samples = [ds.get_sample(i) for i in idxs]
-        batch = collate_batch(samples, canvas, task=task,
-                              num_vectors=head.num_vectors)
-        outs = fwd(variables, jnp.asarray(batch["image"]))
-        det = decode(outs, jnp.asarray(batch["img_shape"]),
-                     jnp.asarray(batch["scale_factor"]))
-        dts += detections_to_coco(
-            jax.tree.map(np.asarray, det), batch["img_id"], label_to_cat,
-            task=head.task, img_sizes=img_sizes)
-    gts = coco_gt_from_annotations(ds.coco, task=head.task)
+    land, port = tuple(canvas), (canvas[1], canvas[0])
+    groups = {land: [], port: []}
+    for i in range(n):
+        info = ds.img_infos[i]
+        groups[port if info["height"] > info["width"] else land].append(i)
+    for cv, idx_list in groups.items():
+        for s0 in range(0, len(idx_list), batch_size):
+            idxs = idx_list[s0:s0 + batch_size]
+            samples = [ds.get_sample(i) for i in idxs]
+            batch = collate_batch(samples, cv, task=task,
+                                  num_vectors=head.get("num_vectors", 4))
+            outs = fwd(variables, jnp.asarray(batch["image"]))
+            det = decode_for(cv)(outs, jnp.asarray(batch["img_shape"]),
+                                 jnp.asarray(batch["scale_factor"]))
+            dts += detections_to_coco(
+                jax.tree.map(np.asarray, det), batch["img_id"], label_to_cat,
+                task=head.get("task", "bbox"), img_sizes=img_sizes)
+    gts = coco_gt_from_annotations(ds.coco, task=head.get("task", "bbox"))
     eval_ids = {int(i) for i in
                 [info["id"] for info in ds.img_infos[:n]]}
     gts = [g for g in gts if g["image_id"] in eval_ids]
     dts = [d for d in dts if d["image_id"] in eval_ids]
     iou_type = {"bbox": "bbox", "segm": "segm", "pose_bbox": "keypoints",
-                "pose_kbox": "keypoints"}[head.task]
+                "pose_kbox": "keypoints"}[head.get("task", "bbox")]
     return evaluate_coco(gts, dts, img_sizes, iou_type=iou_type)

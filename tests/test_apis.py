@@ -53,3 +53,28 @@ def test_aug_test_paths():
     assert "bboxes" in voted and voted["bboxes"].shape[1] == 4
     simple = aug_test_simple(bundle, img, scales=[(IMG, IMG)], flip=True)
     assert "bboxes" in simple
+
+
+def test_ms_test_beyond_canvas_buckets():
+    """Multi-scale TTA with scales LARGER than the default canvas routes
+    each scale to its own static bucket (VERDICT r1 item 3: the reference
+    MS-test exemplar runs 12 scales up to (3000,1800); r1 crashed in
+    pad_to_shape for any scale beyond the single canvas)."""
+    bundle = init_detector(tiny_cfg(), canvas=(IMG, IMG))
+    img = (np.random.RandomState(2).rand(48, 56, 3) * 255).astype(np.uint8)
+    scales = [(48, 32), (IMG, IMG), (160, 96)]   # below, at, above canvas
+    voted = aug_test(bundle, img, scales=scales, flip=True)
+    assert voted["bboxes"].shape[1] == 4
+    simple = aug_test_simple(bundle, img, scales=scales, flip=False)
+    assert simple["bboxes"].shape[1] == 4
+    # portrait input picks the transposed bucket
+    imgp = img.transpose(1, 0, 2)
+    rp = inference_detector(bundle, imgp)
+    assert rp["bboxes"].shape[1] == 4
+
+
+def test_bucket_canvas_orientation():
+    from lsnet_tpu.apis import bucket_canvas
+    assert bucket_canvas((1333, 800), 480, 640) == (800, 1344)
+    assert bucket_canvas((1333, 800), 640, 480) == (1344, 800)
+    assert bucket_canvas((3000, 1800), 500, 700) == (1824, 3008)

@@ -100,3 +100,163 @@ def test_frozen_bn_matches_torch_eval():
         want = tbn(torch.from_numpy(x.transpose(0, 3, 1, 2))
                    ).numpy().transpose(0, 2, 3, 1)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+# -------------------- mmdet-keyspace converter (VERDICT r1 item 5) ----------
+
+def _gen_mmdet_backbone_sd(depth, base=16, block_type="resnet", groups=1,
+                           base_width=4, scales=4, dcn_stages=(),
+                           deep_stem=False, prefix=""):
+    """Synthesize an mmdet-style backbone state dict with shape-exact
+    tensors for our tiny ``base_channels`` variants (torch OIHW layout,
+    mmdet naming: `code/mmdet/models/backbones/{resnet,resnext,res2net}.py`,
+    DCN keys `code/mmdet/ops/dcn/deform_conv.py:410-435`)."""
+    import torch
+
+    from lsnet_tpu.models.backbones.resnet import ARCH_SETTINGS
+    sd = {}
+
+    def conv(name, o, i, k):
+        sd[prefix + name + ".weight"] = torch.randn(o, i, k, k)
+
+    def bn(name, c):
+        for leaf, t in (("weight", torch.randn(c)), ("bias", torch.randn(c)),
+                        ("running_mean", torch.randn(c)),
+                        ("running_var", torch.rand(c) + 0.5),
+                        ("num_batches_tracked", torch.tensor(1))):
+            sd[prefix + name + "." + leaf] = t
+
+    if deep_stem:
+        conv("stem.0", base // 2, 3, 3)
+        bn("stem.1", base // 2)
+        conv("stem.3", base // 2, base // 2, 3)
+        bn("stem.4", base // 2)
+        conv("stem.6", base, base // 2, 3)
+        bn("stem.7", base)
+    else:
+        conv("conv1", base, 3, 7)
+        bn("bn1", base)
+
+    _, stage_blocks = ARCH_SETTINGS[depth]
+    prev = base
+    for s, nblocks in enumerate(stage_blocks):
+        planes = base * 2 ** s
+        out = planes * 4
+        dcn = s in dcn_stages
+        for b in range(nblocks):
+            blk = f"layer{s + 1}.{b}"
+            if block_type == "res2net":
+                width = int(planes * base_width / base)
+                conv(f"{blk}.conv1", width * scales, prev, 1)
+                bn(f"{blk}.bn1", width * scales)
+                for i in range(scales - 1):
+                    conv(f"{blk}.convs.{i}", width, width, 3)
+                    if dcn:
+                        conv(f"{blk}.convs.{i}.conv_offset", 27, width, 3)
+                        sd[prefix + f"{blk}.convs.{i}.conv_offset.bias"] = \
+                            torch.zeros(27)
+                    bn(f"{blk}.bns.{i}", width)
+                conv(f"{blk}.conv3", out, width * scales, 1)
+                bn(f"{blk}.bn3", out)
+                if b == 0:
+                    # avg_down: Sequential(AvgPool, Conv, BN)
+                    conv(f"{blk}.downsample.1", out, prev, 1)
+                    bn(f"{blk}.downsample.2", out)
+            else:
+                width = (planes if groups == 1
+                         else int(planes * base_width / base) * groups)
+                conv(f"{blk}.conv1", width, prev, 1)
+                bn(f"{blk}.bn1", width)
+                conv(f"{blk}.conv2", width, width // groups, 3)
+                if dcn:
+                    conv(f"{blk}.conv2.conv_offset", 27, width, 3)
+                    sd[prefix + f"{blk}.conv2.conv_offset.bias"] = \
+                        torch.zeros(27)
+                bn(f"{blk}.bn2", width)
+                conv(f"{blk}.conv3", out, width, 1)
+                bn(f"{blk}.bn3", out)
+                if b == 0:
+                    conv(f"{blk}.downsample.0", out, prev, 1)
+                    bn(f"{blk}.downsample.1", out)
+            prev = out
+    return sd
+
+
+def _roundtrip(tmp_path, sd, backbone):
+    """Save a torch sd, load it into an inited flax backbone, assert merge."""
+    import torch
+
+    import jax
+    from lsnet_tpu.train.checkpoint import load_pretrained_backbone
+    path = str(tmp_path / "ckpt.pth")
+    torch.save({"state_dict": sd}, path)
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = backbone.init(jax.random.PRNGKey(0), x)
+    wrapped = {"params": {"backbone": variables["params"]},
+               "batch_stats": {"backbone": variables.get("batch_stats", {})}}
+    return load_pretrained_backbone(wrapped, path)
+
+
+def test_convert_mmdet_prefixed_resnext_dcn(tmp_path):
+    pytest.importorskip("torch")
+    from lsnet_tpu.models.backbones.resnet import ResNet
+
+    sd = _gen_mmdet_backbone_sd(50, base=16, block_type="resnext", groups=4,
+                                base_width=4, dcn_stages=(1, 2, 3),
+                                prefix="backbone.")
+    # full-model dicts carry neck/head keys too; they must be skipped
+    import torch
+    sd["neck.lateral_convs.0.conv.weight"] = torch.randn(8, 8, 1, 1)
+    sd["bbox_head.cls_out.weight"] = torch.randn(4, 8, 1, 1)
+    bb = ResNet(depth=50, block_type="resnext", groups=4, base_width=4,
+                base_channels=16, stage_with_dcn=(False, True, True, True))
+    merged = _roundtrip(tmp_path, sd, bb)
+    p = merged["params"]["backbone"]
+    # DCN main weight landed on the pack's raw 'weight' param (HWIO)
+    w = np.asarray(p["layer2_0"]["conv2"]["weight"])
+    src = sd["backbone.layer2.0.conv2.weight"].numpy().transpose(2, 3, 1, 0)
+    np.testing.assert_allclose(w, src)
+    # conv_offset landed on the nn.Conv kernel
+    k = np.asarray(p["layer2_0"]["conv2"]["conv_offset"]["kernel"])
+    np.testing.assert_allclose(
+        k, sd["backbone.layer2.0.conv2.conv_offset.weight"].numpy()
+        .transpose(2, 3, 1, 0))
+
+
+def test_convert_res2net_v1d_dcn(tmp_path):
+    pytest.importorskip("torch")
+    from lsnet_tpu.models.backbones.resnet import ResNet
+
+    sd = _gen_mmdet_backbone_sd(50, base=16, block_type="res2net",
+                                base_width=8, scales=4,
+                                dcn_stages=(1, 2, 3), deep_stem=True)
+    bb = ResNet(depth=50, block_type="res2net", base_width=8, scales=4,
+                base_channels=16, deep_stem=True,
+                stage_with_dcn=(False, True, True, True))
+    merged = _roundtrip(tmp_path, sd, bb)
+    p = merged["params"]["backbone"]
+    s = merged["batch_stats"]["backbone"]
+    np.testing.assert_allclose(
+        np.asarray(p["stem_conv1"]["kernel"]),
+        sd["stem.0.weight"].numpy().transpose(2, 3, 1, 0))
+    # scale-branch conv landed (DCN pack weight)
+    np.testing.assert_allclose(
+        np.asarray(p["layer3_0"]["conv2_1"]["weight"]),
+        sd["layer3.0.convs.1.weight"].numpy().transpose(2, 3, 1, 0))
+    np.testing.assert_allclose(
+        np.asarray(s["layer3_0"]["bn2_1"]["mean"]),
+        sd["layer3.0.bns.1.running_mean"].numpy())
+    # avg-down downsample conv mapped by tensor rank
+    assert np.asarray(p["layer2_0"]["downsample_conv"]["kernel"]).shape[:2] \
+        == (1, 1)
+
+
+def test_convert_rejects_unknown_keys():
+    pytest.importorskip("torch")
+    import torch
+
+    from lsnet_tpu.train.checkpoint import convert_torch_backbone
+    sd = {"conv1.weight": torch.randn(16, 3, 7, 7),
+          "mystery.module.weight": torch.randn(4, 4, 3, 3)}
+    with pytest.raises(ValueError, match="mystery"):
+        convert_torch_backbone(sd)

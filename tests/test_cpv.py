@@ -123,3 +123,27 @@ def test_cpv_loss_and_decode():
                        jnp.ones((B, 4), jnp.float32), tcfg)
     assert det.bboxes.shape == (B, 10, 4)
     assert np.all(np.isfinite(np.asarray(det.bboxes)))
+
+
+def test_cpv_decode_carries_landmarks():
+    """CPV results must carry the decoded extreme-point vectors (VERDICT r1:
+    `cpv.py:388` packed zeros; the reference LSCPV get_bboxes returns
+    extremes through results, `lscpvnet_head.py:1012-1092`)."""
+    model, _ = tiny_cpv_model()
+    B = 1
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(B, *IMG, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(1), x)
+    outs = model.apply(variables, x)
+    tcfg = TestConfig(image_shape=IMG, num_classes=4, task="bbox",
+                      nms_pre=100, score_thr=0.0, max_per_img=10)
+    det = lscpv_decode(outs, jnp.array([[64, 64]] * B, jnp.int32),
+                       jnp.ones((B, 4), jnp.float32), tcfg)
+    lm = np.asarray(det.landmarks)
+    valid = np.asarray(det.valid)
+    assert lm.shape == (B, 10, 8)
+    assert valid.any()
+    # at least one valid detection has a non-zero landmark vector
+    assert np.abs(lm[valid]).sum() > 0
+    # landmarks live inside the image frame
+    assert (lm[valid] >= 0).all() and (lm[valid] <= 64).all()

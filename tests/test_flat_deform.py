@@ -105,3 +105,34 @@ def test_flat_engine_differentiable():
     for g in jax.tree.leaves((gf, go, gw)):
         assert np.all(np.isfinite(np.asarray(g)))
     assert float(sum(jnp.abs(g).sum() for g in go)) > 0
+
+
+def test_grouped_dcn_matches_blockdiag_full():
+    """groups>1 contraction == ungrouped contraction with a block-diagonal
+    weight (the grouped-conv definition)."""
+    import numpy as np
+
+    from lsnet_tpu.ops.flat_deform import multilevel_modulated_dcn
+
+    rng = np.random.RandomState(0)
+    B, H, W, C, G, cout = 2, 6, 6, 8, 4, 8
+    K = 9
+    x = jnp.asarray(rng.randn(B, H, W, C).astype(np.float32))
+    off = jnp.asarray(0.5 * rng.randn(B, H, W, 2 * K).astype(np.float32))
+    mask = jnp.asarray(rng.rand(B, H, W, K).astype(np.float32))
+    wg = rng.randn(3, 3, C // G, cout).astype(np.float32)
+
+    # block-diagonal expansion: group g maps channels [g*Cg:(g+1)*Cg] to
+    # outputs [g*outG:(g+1)*outG]
+    Cg, outG = C // G, cout // G
+    wfull = np.zeros((3, 3, C, cout), np.float32)
+    for g in range(G):
+        wfull[:, :, g * Cg:(g + 1) * Cg, g * outG:(g + 1) * outG] = \
+            wg[:, :, :, g * outG:(g + 1) * outG]
+
+    got = multilevel_modulated_dcn([x], [off], [mask], jnp.asarray(wg),
+                                   groups=G)[0]
+    want = multilevel_modulated_dcn([x], [off], [mask], jnp.asarray(wfull),
+                                    groups=1)[0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
