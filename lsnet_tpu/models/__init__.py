@@ -55,10 +55,28 @@ def build_backbone(cfg: Dict[str, Any]):
     dcn = cfg.pop("dcn", None)
     if dcn is not None and "stage_with_dcn" not in cfg:
         cfg["stage_with_dcn"] = (False, True, True, True)
+    sac = cfg.pop("sac", None)
+    if sac is not None and "stage_with_sac" not in cfg:
+        cfg["stage_with_sac"] = (False, True, True, True)
     if cfg.pop("with_cp", False):      # torch checkpointing -> jax remat
         cfg["remat"] = True
     if kind == "ResNet":
         return ResNet(block_type="resnet", **cfg)
+    if kind in ("DetectoRS_ResNet", "DetectoRSResNet"):
+        # DetectoRS backbone = ResNet + SAC stages (RFP recursion lives in
+        # the RFP neck, see necks/extra.py)
+        cfg.pop("conv_cfg", None)
+        cfg.pop("output_img", None)
+        cfg.pop("rfp_inplanes", None)
+        return ResNet(block_type="resnet", **cfg)
+    if kind == "SSDVGG":
+        from .backbones.extra import SSDVGG
+        for k in ("num_stages", "stage_with_dcn", "stage_with_sac",
+                  "strides", "dilations", "remat", "out_indices",
+                  "frozen_stages", "with_last_pool", "ceil_mode",
+                  "out_feature_indices", "l2_norm_scale"):
+            cfg.pop(k, None)
+        return SSDVGG(**cfg)
     if kind == "ResNeXt":
         return ResNet(block_type="resnext", **cfg)
     if kind == "Res2Net":

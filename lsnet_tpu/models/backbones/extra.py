@@ -169,3 +169,66 @@ class HourglassNet(nn.Module):
                 b = FrozenBatchNorm(name=f"remap{s}_bbn")(b)
                 inter = BasicBlock(ch0, name=f"inter{s}")(nn.relu(a + b))
         return tuple(outs)
+
+
+class SSDVGG(nn.Module):
+    """VGG-16 SSD backbone (reference
+    `/root/reference/code/mmdet/models/backbones/ssd_vgg.py`): the standard
+    VGG16 conv stack with pool5 3x3/1, dilated fc6/fc7 convs, SSD extra
+    layers, and an L2-normalized conv4_3 output.
+
+    Returns 6 feature maps (conv4_3*, fc7, conv8_2..conv11_2) for SSD300.
+    """
+    input_size: int = 300
+    depth: int = 16
+    l2_norm_scale: float = 20.0
+
+    @nn.compact
+    def __call__(self, x: Array) -> Tuple[Array, ...]:
+        stages = ((2, 64), (2, 128), (3, 256), (3, 512), (3, 512))
+        outs = []
+        for s, (n_convs, ch) in enumerate(stages):
+            for i in range(n_convs):
+                x = nn.Conv(ch, (3, 3), padding=[(1, 1), (1, 1)],
+                            name=f"conv{s + 1}_{i + 1}")(x)
+                x = nn.relu(x)
+            if s == 3:
+                # conv4_3 output, L2-normalized with a learned per-channel
+                # scale (reference L2Norm, init 20)
+                scale = self.param("l2_norm_scale_param",
+                                   nn.initializers.constant(
+                                       self.l2_norm_scale),
+                                   (x.shape[-1],), jnp.float32)
+                norm = jnp.sqrt(
+                    jnp.sum(x.astype(jnp.float32) ** 2, -1,
+                            keepdims=True)) + 1e-10
+                outs.append((x / norm * scale).astype(x.dtype))
+            if s < 4:
+                # ceil_mode pooling: pad to even before 2x2/2
+                ph = x.shape[1] % 2
+                pw = x.shape[2] % 2
+                if ph or pw:
+                    x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)),
+                                mode="edge")
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            else:
+                x = nn.max_pool(x, (3, 3), strides=(1, 1),
+                                padding=((1, 1), (1, 1)))
+        # fc6: 3x3 dilation 6; fc7: 1x1 (both 1024)
+        x = nn.relu(nn.Conv(1024, (3, 3), padding=[(6, 6), (6, 6)],
+                            kernel_dilation=(6, 6), name="fc6")(x))
+        x = nn.relu(nn.Conv(1024, (1, 1), name="fc7")(x))
+        outs.append(x)
+        # SSD300 extras: (1x1 squeeze, 3x3) pairs
+        extras = ((256, 512, 2), (128, 256, 2), (128, 256, 0), (128, 256, 0))
+        for i, (c1, c2, stride) in enumerate(extras):
+            x = nn.relu(nn.Conv(c1, (1, 1), name=f"extra{i}_1")(x))
+            if stride == 2:
+                x = nn.relu(nn.Conv(c2, (3, 3), strides=(2, 2),
+                                    padding=[(1, 1), (1, 1)],
+                                    name=f"extra{i}_2")(x))
+            else:
+                x = nn.relu(nn.Conv(c2, (3, 3), padding="VALID",
+                                    name=f"extra{i}_2")(x))
+            outs.append(x)
+        return tuple(outs)

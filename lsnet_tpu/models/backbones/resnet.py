@@ -76,6 +76,7 @@ class Bottleneck(nn.Module):
     dilation: int = 1
     downsample: bool = False
     use_dcn: bool = False
+    use_sac: bool = False
     groups: int = 1
     base_width: int = 4
     base_channels: int = 64
@@ -97,6 +98,10 @@ class Bottleneck(nn.Module):
                                           dilation=self.dilation,
                                           groups=self.groups,
                                           use_bias=False, name="conv2")(out)
+        elif self.use_sac:
+            from ..layers import SAConv
+            out = SAConv(width, 3, stride=self.stride,
+                         dilation=self.dilation, name="conv2")(out)
         else:
             out = _conv(width, 3, self.stride, self.dilation,
                         groups=self.groups, name="conv2")(out)
@@ -187,6 +192,7 @@ class ResNet(nn.Module):
     dilations: Sequence[int] = (1, 1, 1, 1)
     frozen_stages: int = -1
     stage_with_dcn: Sequence[bool] = (False, False, False, False)
+    stage_with_sac: Sequence[bool] = (False, False, False, False)
     groups: int = 1              # ResNeXt
     base_width: int = 4          # ResNeXt (4) / Res2Net (26)
     scales: int = 4              # Res2Net
@@ -223,6 +229,7 @@ class ResNet(nn.Module):
             stride = self.strides[stage_i]
             dilation = self.dilations[stage_i]
             use_dcn = self.stage_with_dcn[stage_i]
+            use_sac = self.stage_with_sac[stage_i]
             for block_i in range(nblocks):
                 blk_stride = stride if block_i == 0 else 1
                 downsample = block_i == 0
@@ -242,6 +249,7 @@ class ResNet(nn.Module):
                     block_cls, kwargs = Bottleneck, dict(
                         planes=planes, stride=blk_stride, dilation=dilation,
                         downsample=downsample, use_dcn=use_dcn,
+                        use_sac=use_sac,
                         groups=self.groups if self.block_type == "resnext" else 1,
                         base_width=self.base_width,
                         base_channels=self.base_channels)

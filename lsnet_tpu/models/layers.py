@@ -298,3 +298,63 @@ class DCNConvModule(nn.Module):
         if multi:
             return [nn.relu(gn(o)) for o in outs]
         return nn.relu(gn(outs))
+
+
+class SAConv(nn.Module):
+    """Switchable Atrous Convolution (DetectoRS, reference
+    `code/mmdet/ops/saconv.py` + AWS weight standardization from
+    `conv_ws.py:60-110`): pre/post global-context 1x1s, a 5x5-avg switch
+    map, and two shared-weight convs at dilation d and 3d mixed by the
+    switch. sigmoid(switch)? — no: the reference uses the raw conv output
+    (zero-init, bias 1 -> starts as pure small-dilation path)."""
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        cin = x.shape[-1]
+        k = self.kernel_size
+        weight = self.param("weight", kaiming_init,
+                            (k, k, cin, self.out_channels), jnp.float32)
+        # AWS: standardize over (k, k, cin) per output channel with learned
+        # affine (gamma init 1, beta init 0)
+        gamma = self.param("aws_gamma", nn.initializers.ones,
+                           (1, 1, 1, self.out_channels), jnp.float32)
+        beta = self.param("aws_beta", nn.initializers.zeros,
+                          (1, 1, 1, self.out_channels), jnp.float32)
+        mean = weight.mean(axis=(0, 1, 2), keepdims=True)
+        std = weight.std(axis=(0, 1, 2), keepdims=True) + 1e-5
+        w_std = gamma * (weight - mean) / std + beta
+        weight_diff = self.param("weight_diff", nn.initializers.zeros,
+                                 (k, k, cin, self.out_channels), jnp.float32)
+
+        # pre-context: global avg -> 1x1 (zero-init) added back
+        gap = jnp.mean(x, axis=(1, 2), keepdims=True)
+        pre = nn.Conv(cin, (1, 1), kernel_init=nn.initializers.zeros,
+                      name="pre_context")(gap)
+        x = x + pre
+        # switch on 5x5 local average (reflect pad)
+        avg = jnp.pad(x, ((0, 0), (2, 2), (2, 2), (0, 0)), mode="reflect")
+        avg = nn.avg_pool(avg, (5, 5), strides=(1, 1))
+        switch = nn.Conv(1, (1, 1), strides=(self.stride, self.stride),
+                         kernel_init=nn.initializers.zeros,
+                         bias_init=nn.initializers.ones,
+                         name="switch")(avg)
+
+        def conv_with(w, dil):
+            pad = dil * (k // 2)
+            return jax.lax.conv_general_dilated(
+                x, w.astype(x.dtype), (self.stride, self.stride),
+                [(pad, pad), (pad, pad)], rhs_dilation=(dil, dil),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        out_s = conv_with(w_std, self.dilation)
+        out_l = conv_with(w_std + weight_diff, 3 * self.dilation)
+        out = switch * out_s + (1.0 - switch) * out_l
+        post = nn.Conv(self.out_channels, (1, 1),
+                       kernel_init=nn.initializers.zeros,
+                       name="post_context")(
+            jnp.mean(out, axis=(1, 2), keepdims=True))
+        return out + post

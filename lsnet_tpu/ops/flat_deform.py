@@ -76,6 +76,18 @@ def _corner_data(ys: Array, xs: Array, H: int, W: int, base_row: Array
     return idxs, ws
 
 
+# Transient-memory budget for the gathered-patch tensor, in ELEMENTS
+# (rows * K * C). Above this the gather+matmul pipeline runs in pixel
+# chunks via lax.map — peak HBM becomes one chunk instead of the full
+# (rows, C) patch tensor (the r1 inference-OOM at batch 8).
+_CHUNK_BUDGET_ELEMS = [64 * 1024 * 1024]
+
+
+def set_chunk_budget(elems: Optional[int]) -> None:
+    """Set the patch-transient budget (elements); None disables chunking."""
+    _CHUNK_BUDGET_ELEMS[0] = int(elems) if elems else (1 << 62)
+
+
 class SampleJob(NamedTuple):
     """One deformable sampling job: offset field -> samples in one level."""
     src_level: int
@@ -104,6 +116,102 @@ def _job_coords(job: SampleJob, K: int) -> Tuple[Array, Array]:
     ys = (base_y + off[..., 0]).reshape(B, -1)
     xs = (base_x + off[..., 1]).reshape(B, -1)
     return ys, xs
+
+
+def _gather_indices(levels: FlatLevels, jobs: Sequence[SampleJob], K: int):
+    """Flat corner indices + tent weights for all jobs.
+
+    Returns (idx_cat (4, rows) int32, w_cat (4, rows) f32, job_sizes)."""
+    B = levels.B
+    img_base = (jnp.arange(B, dtype=jnp.int32) * levels.total)[:, None]
+    all_idx: List[Array] = []
+    all_w: List[Array] = []
+    job_sizes: List[int] = []
+    for job in jobs:
+        H, W = levels.shapes[job.src_level]
+        ys, xs = _job_coords(job, K)                      # (B, P)
+        base_row = img_base + levels.offsets[job.src_level]
+        idxs, ws = _corner_data(ys, xs, H, W, base_row)
+        if job.mask is not None:
+            m = job.mask.reshape(B, -1).astype(jnp.float32)
+            ws = [w * m for w in ws]
+        job_sizes.append(ys.shape[1])
+        all_idx.append(jnp.stack(idxs))
+        all_w.append(jnp.stack(ws))
+    idx_cat = jnp.concatenate([i.reshape(4, -1) for i in all_idx], axis=1)
+    w_cat = jnp.concatenate([w.reshape(4, -1) for w in all_w], axis=1)
+    return idx_cat, w_cat, job_sizes
+
+
+def _chunked_gather_matmul(flat: Array, idx_cat: Array, w_cat: Array,
+                           contracts, K: int, nchunks: int) -> List[Array]:
+    """Gather + corner-combine + matmul in pixel chunks (lax.map).
+
+    Peak patch transient = one chunk instead of the full (rows, C) tensor —
+    this is what lets batch-8 inference / large-canvas training fit HBM.
+
+    contracts: list of (ch_start, ch_end, weight (k,k,Cin_g,cout), groups);
+    each contract consumes a channel slice of the gathered rows.
+    Returns per-contract (total_px, cout) arrays.
+    """
+    cdt = flat.dtype
+    rows = idx_cat.shape[1]
+    total_px = rows // K
+    px_c = -(-total_px // nchunks)
+    pad = px_c * nchunks - total_px
+    idx_px = idx_cat.reshape(4, total_px, K)
+    w_px = w_cat.reshape(4, total_px, K)
+    if pad:
+        idx_px = jnp.pad(idx_px, ((0, 0), (0, pad), (0, 0)))
+        w_px = jnp.pad(w_px, ((0, 0), (0, pad), (0, 0)))
+    idx_ch = idx_px.reshape(4, nchunks, px_c, K).transpose(1, 0, 2, 3)
+    w_ch = w_px.reshape(4, nchunks, px_c, K).transpose(1, 0, 2, 3)
+
+    def one(args):
+        ic, wc = args                                    # (4, px_c, K)
+        g = flat[ic[0].reshape(-1)] * wc[0].reshape(-1)[:, None].astype(cdt)
+        for corner in range(1, 4):
+            g = g + (flat[ic[corner].reshape(-1)]
+                     * wc[corner].reshape(-1)[:, None].astype(cdt))
+        outs = []
+        for (c0, c1, weight, groups) in contracts:
+            v = g[:, c0:c1]                              # (px_c*K, C)
+            C = c1 - c0
+            cout = weight.shape[-1]
+            if groups == 1:
+                o = jax.lax.dot_general(
+                    v.reshape(px_c, K * C),
+                    weight.reshape(K * C, cout).astype(cdt),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(cdt)
+            else:
+                G = groups
+                Cg, outG = C // G, cout // G
+                o = jnp.einsum(
+                    "pkgc,kcgj->pgj",
+                    v.reshape(px_c, K, G, Cg),
+                    weight.reshape(K, Cg, G, outG).astype(cdt),
+                    preferred_element_type=jnp.float32
+                ).astype(cdt).reshape(px_c, cout)
+            outs.append(o)
+        return tuple(outs)
+
+    outs = jax.lax.map(one, (idx_ch, w_ch))
+    return [o.reshape(-1, o.shape[-1])[:total_px] for o in outs]
+
+
+def _split_jobs(out: Array, jobs: Sequence[SampleJob],
+                job_sizes: List[int], K: int, B: int) -> List[Array]:
+    """(total_px, Cout) -> per-job (B, Ho, Wo, Cout)."""
+    outs: List[Array] = []
+    row = 0
+    cout = out.shape[-1]
+    for job, P in zip(jobs, job_sizes):
+        _, Ho, Wo, _ = job.offset.shape
+        n_px = B * P // K
+        outs.append(out[row:row + n_px].reshape(B, Ho, Wo, cout))
+        row += n_px
+    return outs
 
 
 def _gather_weighted(levels: FlatLevels, jobs: Sequence[SampleJob], K: int,
@@ -211,6 +319,16 @@ def batched_deform_matmul(levels: FlatLevels, jobs: Sequence[SampleJob],
         lv = levels._replace(flat=flat)
         jb = [j._replace(offset=o, mask=m)
               for j, (o, m) in zip(jobs, jobs_off)]
+        C = flat.shape[-1]
+        rows = levels.B * sum(
+            j.offset.shape[1] * j.offset.shape[2] * K for j in jobs)
+        if rows * C > _CHUNK_BUDGET_ELEMS[0]:
+            idx_cat, w_cat, job_sizes = _gather_indices(lv, jb, K)
+            nchunks = -(-rows * C // _CHUNK_BUDGET_ELEMS[0])
+            out = _chunked_gather_matmul(
+                flat, idx_cat, w_cat, [(0, C, weight, groups)], K,
+                int(nchunks))[0]
+            return _split_jobs(out, jb, job_sizes, K, lv.B)
         vals, job_sizes = _gather_weighted(lv, jb, K)
         return _contract_and_split(vals, jb, job_sizes, weight, K, lv.B,
                                    groups)
@@ -236,6 +354,18 @@ def dual_pyramid_dcn(feats_a: Sequence[Array], feats_b: Sequence[Array],
         levels = pack_levels(cat)
         jb = [j._replace(offset=o, mask=m)
               for j, (o, m) in zip(jobs, jobs_off)]
+        C = levels.flat.shape[-1]
+        rows = levels.B * sum(
+            j.offset.shape[1] * j.offset.shape[2] * K for j in jb)
+        if rows * C > _CHUNK_BUDGET_ELEMS[0]:
+            idx_cat, w_cat, job_sizes = _gather_indices(levels, jb, K)
+            nchunks = -(-rows * C // _CHUNK_BUDGET_ELEMS[0])
+            out_a, out_b = _chunked_gather_matmul(
+                levels.flat, idx_cat, w_cat,
+                [(0, Ca, weight_a, 1), (Ca, C, weight_b, 1)], K,
+                int(nchunks))
+            return (_split_jobs(out_a, jb, job_sizes, K, levels.B),
+                    _split_jobs(out_b, jb, job_sizes, K, levels.B))
         # accumulate the two channel halves as SEPARATE outputs of the same
         # corner-accumulate fusion: avoids a post-hoc channel-split copy and
         # keeps each half contiguous so the pre-matmul reshape is a bitcast

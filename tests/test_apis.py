@@ -3,6 +3,7 @@ wiring on a tiny model (reference `tests/test_async.py` / inference
 coverage analogue)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -34,6 +35,7 @@ def tiny_cfg():
     ))
 
 
+@pytest.mark.slow
 def test_inference_and_show(tmp_path):
     bundle = init_detector(tiny_cfg(), canvas=(IMG, IMG))
     img = (np.random.RandomState(0).rand(48, 56, 3) * 255).astype(np.uint8)
@@ -46,6 +48,7 @@ def test_inference_and_show(tmp_path):
     assert (tmp_path / "vis.png").exists()
 
 
+@pytest.mark.slow
 def test_aug_test_paths():
     bundle = init_detector(tiny_cfg(), canvas=(IMG, IMG))
     img = (np.random.RandomState(1).rand(48, 56, 3) * 255).astype(np.uint8)
@@ -55,6 +58,7 @@ def test_aug_test_paths():
     assert "bboxes" in simple
 
 
+@pytest.mark.slow
 def test_ms_test_beyond_canvas_buckets():
     """Multi-scale TTA with scales LARGER than the default canvas routes
     each scale to its own static bucket (VERDICT r1 item 3: the reference

@@ -40,6 +40,7 @@ def test_resnext_group_width():
     assert k.shape[-1] == 64 * 4 * 8 // 64  # 32
 
 
+@pytest.mark.slow
 def test_res2net_structure():
     bb = build_backbone(dict(type="Res2Net", depth=50, scales=4,
                              base_width=26, num_stages=4, out_indices=(3,)))
@@ -86,6 +87,7 @@ def test_bfp_contract():
     assert [o.shape for o in outs] == [i.shape for i in ins]
 
 
+@pytest.mark.slow
 def test_mobilenet_v2():
     bb = build_backbone(dict(type="MobileNetV2", widen_factor=1.0,
                              out_indices=(1, 2, 4, 6)))
@@ -94,6 +96,7 @@ def test_mobilenet_v2():
     assert [o.shape[1] for o in outs] == [16, 8, 4, 2]
 
 
+@pytest.mark.slow
 def test_hrnet_w32():
     extra = dict(
         stage1=dict(num_modules=1, num_branches=1, block="BOTTLENECK",
@@ -110,6 +113,7 @@ def test_hrnet_w32():
         (1, 16, 16, 8), (1, 8, 8, 16), (1, 4, 4, 32), (1, 2, 2, 64)]
 
 
+@pytest.mark.slow
 def test_regnet():
     bb = build_backbone(dict(
         type="RegNet",
@@ -120,6 +124,7 @@ def test_regnet():
     assert outs[0].shape[1] == 16  # stride 4 after stem+first stage
 
 
+@pytest.mark.slow
 def test_hourglass():
     bb = build_backbone(dict(type="HourglassNet", num_stacks=2,
                              downsample_times=2,
@@ -130,6 +135,7 @@ def test_hourglass():
     assert outs[0].shape == (1, 16, 16, 16)
 
 
+@pytest.mark.slow
 def test_extra_necks_shape_contracts():
     """NAS-FPN / HRFPN / FPN-CARAFE / RFP (VERDICT r1 missing item 7)."""
     import jax
@@ -167,3 +173,40 @@ def test_extra_necks_shape_contracts():
     assert len(outs) == 5
     assert outs[0].shape == (1, 32, 32, 16)
     assert outs[4].shape == (1, 2, 2, 16)
+
+
+@pytest.mark.slow
+def test_ssd_vgg_and_sac():
+    """SSD-VGG backbone (6 maps, L2-normed conv4_3) + DetectoRS SAC stage."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lsnet_tpu.models import build_backbone
+
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 300, 300, 3)
+                    .astype(np.float32))
+    bb = build_backbone(dict(type="SSDVGG", input_size=300, depth=16))
+    variables = bb.init(jax.random.PRNGKey(0), x)
+    outs = bb.apply(variables, x)
+    assert len(outs) == 6
+    assert outs[0].shape == (1, 38, 38, 512)      # conv4_3 (ceil-mode pools)
+    assert outs[1].shape == (1, 19, 19, 1024)     # fc7
+    assert outs[2].shape == (1, 10, 10, 512)
+    assert outs[5].shape[1:3] == (1, 1)
+    # conv4_3 rows are L2-normalized * learned scale (init 20)
+    n = np.linalg.norm(np.asarray(outs[0][0, 0, 0], np.float64))
+    np.testing.assert_allclose(n, 20.0, rtol=1e-3)
+
+    sac_bb = build_backbone(dict(type="DetectoRS_ResNet", depth=50,
+                                 num_stages=2, out_indices=(0, 1),
+                                 sac=dict(type="SAC"),
+                                 stage_with_sac=(False, True),
+                                 base_channels=16))
+    x2 = jnp.asarray(np.random.RandomState(1).rand(1, 64, 64, 3)
+                     .astype(np.float32))
+    v2 = sac_bb.init(jax.random.PRNGKey(0), x2)
+    o2 = sac_bb.apply(v2, x2)
+    assert o2[1].shape == (1, 8, 8, 128)
+    # SAC params present on conv2 of stage2 blocks
+    assert "switch" in v2["params"]["layer2_0"]["conv2"]
+    assert "weight_diff" in v2["params"]["layer2_0"]["conv2"]

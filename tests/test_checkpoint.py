@@ -57,6 +57,7 @@ def _fake_torch_resnet18_sd():
     return sd
 
 
+@pytest.mark.slow
 def test_torch_conversion_mapping():
     torch = pytest.importorskip("torch")
     from lsnet_tpu.train.checkpoint import convert_torch_resnet
@@ -197,6 +198,7 @@ def _roundtrip(tmp_path, sd, backbone):
     return load_pretrained_backbone(wrapped, path)
 
 
+@pytest.mark.slow
 def test_convert_mmdet_prefixed_resnext_dcn(tmp_path):
     pytest.importorskip("torch")
     from lsnet_tpu.models.backbones.resnet import ResNet
@@ -223,6 +225,7 @@ def test_convert_mmdet_prefixed_resnext_dcn(tmp_path):
         .transpose(2, 3, 1, 0))
 
 
+@pytest.mark.slow
 def test_convert_res2net_v1d_dcn(tmp_path):
     pytest.importorskip("torch")
     from lsnet_tpu.models.backbones.resnet import ResNet

@@ -2,6 +2,7 @@
 the head-unit test pattern of `code/tests/test_heads.py`)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -33,6 +34,7 @@ def tiny_cpv_model():
     ))
 
 
+@pytest.mark.slow
 def test_cpv_forward_shapes():
     model, _ = tiny_cpv_model()
     x = jnp.zeros((1, *IMG, 3), jnp.float32)
@@ -95,6 +97,7 @@ def test_sem_targets():
     assert float(wts[0, 1, 1, 2]) > float(wts[0, 0, 0, 1])
 
 
+@pytest.mark.slow
 def test_cpv_loss_and_decode():
     model, _ = tiny_cpv_model()
     B = 2
@@ -125,6 +128,7 @@ def test_cpv_loss_and_decode():
     assert np.all(np.isfinite(np.asarray(det.bboxes)))
 
 
+@pytest.mark.slow
 def test_cpv_decode_carries_landmarks():
     """CPV results must carry the decoded extreme-point vectors (VERDICT r1:
     `cpv.py:388` packed zeros; the reference LSCPV get_bboxes returns

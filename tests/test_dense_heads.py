@@ -52,6 +52,7 @@ def _make_head(kind):
                     stacked_convs=1)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kind", ["retina", "fcos", "atss"])
 def test_forward_shapes(kind):
     head = _make_head(kind)
@@ -69,6 +70,7 @@ def test_forward_shapes(kind):
         assert float(np.asarray(outs["reg"][0]).min()) > 0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kind", ["retina", "fcos", "atss"])
 def test_loss_with_and_without_gt(kind):
     from lsnet_tpu.core.dense_loss import dense_loss
@@ -90,6 +92,7 @@ def test_loss_with_and_without_gt(kind):
     assert float(losses0["loss_bbox"]) == 0.0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kind", ["retina", "fcos", "atss"])
 def test_loss_is_jittable_and_differentiable(kind):
     from lsnet_tpu.core.dense_loss import dense_loss
@@ -112,6 +115,7 @@ def test_loss_is_jittable_and_differentiable(kind):
     assert sum(norms) > 0
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("kind", ["retina", "fcos", "atss"])
 def test_decode_produces_valid_detections(kind):
     from lsnet_tpu.core.decode import TestConfig

@@ -2,6 +2,7 @@
 bit-level agreement (both must match the CUDA-derived semantics)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -19,6 +20,7 @@ def make_feats(rng, B=2):
             for h, w in SHAPES]
 
 
+@pytest.mark.slow
 def test_multilevel_mdcn_matches_per_level():
     rng = np.random.RandomState(0)
     B = 2
@@ -38,6 +40,7 @@ def test_multilevel_mdcn_matches_per_level():
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_multilevel_mdcn_stride2():
     rng = np.random.RandomState(1)
     B = 1
@@ -88,6 +91,7 @@ def test_pack_levels_layout():
                                np.asarray(feats[1][1, 2, 3]))
 
 
+@pytest.mark.slow
 def test_flat_engine_differentiable():
     rng = np.random.RandomState(4)
     feats = make_feats(rng, B=1)
@@ -136,3 +140,55 @@ def test_grouped_dcn_matches_blockdiag_full():
                                     groups=1)[0]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_chunked_gather_matches_unchunked():
+    """Pixel-chunked gather+matmul (the B8-OOM fix) must be numerically
+    identical to the single-pass formulation, including the dual path."""
+    import numpy as np
+
+    from lsnet_tpu.ops import flat_deform as fd
+
+    rng = np.random.RandomState(0)
+    B, C, cout = 2, 8, 6
+    K = 9
+    feats = [jnp.asarray(rng.randn(B, 8, 8, C).astype(np.float32)),
+             jnp.asarray(rng.randn(B, 4, 4, C).astype(np.float32))]
+    offs = [jnp.asarray(0.7 * rng.randn(B, h, w, 2 * K).astype(np.float32))
+            for h, w in ((8, 8), (4, 4))]
+    masks = [jnp.asarray(rng.rand(B, h, w, K).astype(np.float32))
+             for h, w in ((8, 8), (4, 4))]
+    w1 = jnp.asarray(rng.randn(3, 3, C, cout).astype(np.float32))
+
+    ref = fd.multilevel_modulated_dcn(feats, offs, masks, w1)
+    try:
+        fd.set_chunk_budget(1000)   # force many chunks
+        got = fd.multilevel_modulated_dcn(feats, offs, masks, w1)
+        for r, g in zip(ref, got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-5, atol=2e-5)
+        # chunked path must stay differentiable
+        def loss(w):
+            outs = fd.multilevel_modulated_dcn(feats, offs, masks, w)
+            return sum(jnp.sum(o ** 2) for o in outs)
+        g1 = jax.grad(loss)(w1)
+        fd.set_chunk_budget(None)
+        g0 = jax.grad(loss)(w1)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                                   rtol=2e-4, atol=2e-4)
+
+        # dual (paired) gather path
+        feats_b = [jnp.asarray(rng.randn(B, h, w, C).astype(np.float32))
+                   for h, w in ((8, 8), (4, 4))]
+        w2 = jnp.asarray(rng.randn(3, 3, C, cout).astype(np.float32))
+        jobs = [fd.SampleJob(i, offs[i], masks[i], (1.0, 1.0), (1, 1),
+                             (1, 1), (1, 1)) for i in range(2)]
+        fd.set_chunk_budget(None)
+        ra, rb = fd.dual_pyramid_dcn(feats, feats_b, jobs, w1, w2)
+        fd.set_chunk_budget(1000)
+        ga, gb = fd.dual_pyramid_dcn(feats, feats_b, jobs, w1, w2)
+        for r, g in zip(ra + rb, ga + gb):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-5, atol=2e-5)
+    finally:
+        fd.set_chunk_budget(64 * 1024 * 1024)

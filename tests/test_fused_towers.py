@@ -1,6 +1,7 @@
 """DCN-mode head forward (fused multi-branch towers) smoke tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -23,6 +24,7 @@ def cfg(task, nv, ncls=3):
     )
 
 
+@pytest.mark.slow
 def test_dcn_head_bbox_forward_and_grad():
     model, _ = build_detector(cfg("bbox", 4))
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)
@@ -43,6 +45,7 @@ def test_dcn_head_bbox_forward_and_grad():
         jax.tree.map(lambda a: jnp.abs(a).sum(), g))[0]))
 
 
+@pytest.mark.slow
 def test_dcn_head_pose_bbox_forward():
     model, _ = build_detector(cfg("pose_bbox", 17, ncls=1))
     x = jnp.zeros((1, 64, 64, 3), jnp.float32)

@@ -3,6 +3,7 @@ answer to the reference's untested DDP path (SURVEY.md §4: 'we can do better
 on distributed by testing pjit programs on CPU meshes')."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -43,6 +44,7 @@ def make_batch(B):
     }
 
 
+@pytest.mark.slow
 def test_train_step_8dev_mesh():
     assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
     model, _ = tiny_model()
@@ -68,6 +70,7 @@ def test_train_step_8dev_mesh():
     assert max(jax.tree.leaves(diff)) > 0
 
 
+@pytest.mark.slow
 def test_frozen_backbone_stage_not_updated():
     model, _ = tiny_model()
     batch = make_batch(2)
