@@ -102,6 +102,13 @@ class Bottleneck(nn.Module):
             from ..layers import SAConv
             out = SAConv(width, 3, stride=self.stride,
                          dilation=self.dilation, name="conv2")(out)
+        elif self.groups > 1:
+            # measured-policy grouped conv (dense block-diag at small
+            # per-group widths — see layers.GroupedConv)
+            from ..layers import GroupedConv
+            out = GroupedConv(width, 3, stride=self.stride,
+                              dilation=self.dilation, groups=self.groups,
+                              name="conv2")(out)
         else:
             out = _conv(width, 3, self.stride, self.dilation,
                         groups=self.groups, name="conv2")(out)

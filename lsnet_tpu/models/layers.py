@@ -358,3 +358,49 @@ class SAConv(nn.Module):
                        name="post_context")(
             jnp.mean(out, axis=(1, 2), keepdims=True))
         return out + post
+
+
+class GroupedConv(nn.Module):
+    """Grouped 2-D conv with a TPU-measured execution policy.
+
+    XLA:TPU's native grouped convolution collapses at small per-group
+    widths (v5e, B4: 256ch/64g @200x336 grouped 41.2 ms vs dense 5.2 ms;
+    512ch 11.0 vs 3.6; crossover at ~16ch/group where grouped wins:
+    1024ch 4.1 vs 5.0). The parameter stays in the compact grouped layout
+    (torch-checkpoint compatible); when group width <= ``dense_threshold``
+    the weight is expanded to a block-diagonal dense kernel at call time
+    and run as a dense conv.
+    """
+    out_channels: int
+    kernel_size: int = 3
+    stride: int = 1
+    dilation: int = 1
+    groups: int = 1
+    dense_threshold: int = 8
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        k = self.kernel_size
+        cin = x.shape[-1]
+        G = self.groups
+        cg = cin // G
+        weight = self.param("kernel", kaiming_init,
+                            (k, k, cg, self.out_channels), jnp.float32)
+        pad = k // 2 * self.dilation
+        if G > 1 and cg <= self.dense_threshold:
+            outg = self.out_channels // G
+            eye = jnp.eye(G, dtype=weight.dtype)
+            # dense[h,w,(z,c),(g,j)] = w[h,w,c,g,j] * delta(g, z)
+            wd = jnp.einsum("hwcgj,gz->hwzcgj",
+                            weight.reshape(k, k, cg, G, outg), eye)
+            w_use = wd.reshape(k, k, cin, self.out_channels)
+            groups = 1
+        else:
+            w_use = weight
+            groups = G
+        return jax.lax.conv_general_dilated(
+            x, w_use.astype(x.dtype), (self.stride, self.stride),
+            [(pad, pad), (pad, pad)],
+            rhs_dilation=(self.dilation, self.dilation),
+            feature_group_count=groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))

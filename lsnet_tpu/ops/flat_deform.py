@@ -79,13 +79,35 @@ def _corner_data(ys: Array, xs: Array, H: int, W: int, base_row: Array
 # Transient-memory budget for the gathered-patch tensor, in ELEMENTS
 # (rows * K * C). Above this the gather+matmul pipeline runs in pixel
 # chunks via lax.map — peak HBM becomes one chunk instead of the full
-# (rows, C) patch tensor (the r1 inference-OOM at batch 8).
-_CHUNK_BUDGET_ELEMS = [64 * 1024 * 1024]
+# (rows, C) patch tensor (the r1 inference-OOM at batch 8). Default is
+# sized so the proven batch-4 @800x1344 tower gathers (206M elems) stay
+# single-pass and batch-8 splits in two.
+_CHUNK_BUDGET_ELEMS = [256 * 1024 * 1024]
 
 
 def set_chunk_budget(elems: Optional[int]) -> None:
     """Set the patch-transient budget (elements); None disables chunking."""
     _CHUNK_BUDGET_ELEMS[0] = int(elems) if elems else (1 << 62)
+
+
+def _blockdiag_weight(weight: Array, K: int, groups: int) -> Array:
+    """Grouped weight (kh, kw, C/G, cout) -> dense block-diagonal
+    (K * C, cout) so grouped deform-conv contracts as ONE dense MXU matmul.
+
+    Measured on v5e: the 'natural' grouped einsum (G batched tiny matmuls,
+    e.g. G=64 x (36 x 16) for X-101-64x4d stage3) lowers catastrophically
+    (2.2 s/fwd for the X-101 backbone); the dense block-diagonal form wastes
+    G x FLOPs on zeros but rides the same fast path as the ungrouped engine.
+    """
+    G = groups
+    Cg = weight.shape[2]
+    cout = weight.shape[-1]
+    outG = cout // G
+    w = weight.reshape(K, Cg, G, outG)
+    eye = jnp.eye(G, dtype=weight.dtype)
+    # row index (k, g, c), col index (h, j); nonzero only when g == h
+    wd = jnp.einsum("kcgj,gh->kgchj", w, eye)
+    return wd.reshape(K * Cg * G, G * outG)
 
 
 class SampleJob(NamedTuple):
@@ -118,6 +140,115 @@ def _job_coords(job: SampleJob, K: int) -> Tuple[Array, Array]:
     return ys, xs
 
 
+# Row-pair gather: the two x-corners (x0, x0+1) of a bilinear sample are
+# CONTIGUOUS in the row-major flat buffer, so they can be fetched as ONE
+# 2C-wide row from a pair-expanded view — half the gather descriptors at
+# twice the row width. Measured on v5e: +9% on 512B-1KB rows (R50 widths,
+# 256-ch head towers) but -8% at 2-4KB rows (X101 stage3/4), where the
+# quad gather is already descriptor-amortized and the pair-view copy costs
+# a pass. Enabled only up to PAIRED_MAX_C channels.
+PAIRED_X = [True]
+PAIRED_MAX_C = [512]
+
+
+def _use_paired(C: int) -> bool:
+    return PAIRED_X[0] and C <= PAIRED_MAX_C[0]
+
+
+def _corner_pairs(ys: Array, xs: Array, H: int, W: int, base_row: Array):
+    """Pair-row indices + per-half weights for samples in one level.
+
+    Returns 2 (idx (B,P), w (B,P,2)) tuples — one per y-corner. idx points
+    at the (x0) element; the pair view supplies (x0, x0+1). x0 is used
+    UNCLAMPED in the index so the +1 neighbour stays positionally correct;
+    out-of-range halves carry zero weight (the final clip only guards the
+    buffer bounds)."""
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    wx0 = (1.0 - (xs - x0)) * ((x0i >= 0) & (x0i < W))
+    x1i = x0i + 1
+    wx1 = (1.0 - jnp.abs(xs - x0 - 1.0)) * ((x1i >= 0) & (x1i < W))
+    out = []
+    for dy in (0, 1):
+        yi = y0i + dy
+        yv = (yi >= 0) & (yi < H)
+        wy = (1.0 - jnp.abs(ys - y0 - dy)) * yv
+        idx = jnp.clip(yi, 0, H - 1) * W + x0i + base_row
+        out.append((idx, jnp.stack([wy * wx0, wy * wx1], axis=-1)))
+    return out
+
+
+def _pair_view(flat: Array) -> Array:
+    """(N, C) -> (N+1, 2C) where row r = [flat[r-1], flat[r]] with zero
+    rows beyond both ends; indexed at ``idx + 1`` so the off-by-one left
+    sample at idx = -1 still pairs the correct right element (x = 0).
+    One extra copy of the feature buffer — small next to the
+    gathered-patch transient it accelerates."""
+    C = flat.shape[1]
+    z = jnp.zeros((1, C), flat.dtype)
+    padded = jnp.concatenate([z, flat, z], axis=0)        # (N+2, C)
+    return jnp.concatenate([padded[:-1], padded[1:]], axis=1)
+
+
+def _gather_indices_paired(levels: FlatLevels, jobs: Sequence[SampleJob],
+                           K: int):
+    """Paired variant of :func:`_gather_indices`.
+
+    Returns (idx_cat (2, rows) int32, w_cat (2, rows, 2) f32, job_sizes)."""
+    B = levels.B
+    img_base = (jnp.arange(B, dtype=jnp.int32) * levels.total)[:, None]
+    all_idx: List[Array] = []
+    all_w: List[Array] = []
+    job_sizes: List[int] = []
+    for job in jobs:
+        H, W = levels.shapes[job.src_level]
+        ys, xs = _job_coords(job, K)
+        base_row = img_base + levels.offsets[job.src_level]
+        pairs = _corner_pairs(ys, xs, H, W, base_row)
+        if job.mask is not None:
+            m = job.mask.reshape(B, -1).astype(jnp.float32)
+            pairs = [(i, w * m[..., None]) for i, w in pairs]
+        job_sizes.append(ys.shape[1])
+        all_idx.append(jnp.stack([p[0] for p in pairs]))      # (2, B, P)
+        all_w.append(jnp.stack([p[1] for p in pairs]))        # (2, B, P, 2)
+    idx_cat = jnp.concatenate([i.reshape(2, -1) for i in all_idx], axis=1)
+    w_cat = jnp.concatenate([w.reshape(2, -1, 2) for w in all_w], axis=1)
+    # +1 for the zero row prepended by _pair_view; clip guards the bounds
+    # (any clipped row carries zero weight)
+    n_rows = levels.flat.shape[0]
+    idx_cat = jnp.clip(idx_cat + 1, 0, n_rows)
+    return idx_cat, w_cat, job_sizes
+
+
+def _paired_combine(pairs_buf: Array, idx_cat: Array, w_cat: Array,
+                    C: int, split_at: Optional[int] = None):
+    """2 pair-gathers + weighted fold -> (rows, C) sample values (or two
+    channel-half tensors with ``split_at``)."""
+    cdt = pairs_buf.dtype
+
+    def half(g, w):                                   # g (rows, 2C)
+        gl = g[:, :C]
+        gr = g[:, C:]
+        return gl * w[:, 0, None].astype(cdt) + gr * w[:, 1, None].astype(cdt)
+
+    if split_at is None:
+        vals = half(pairs_buf[idx_cat[0]], w_cat[0])
+        return vals + half(pairs_buf[idx_cat[1]], w_cat[1])
+    outs = []
+    g0 = pairs_buf[idx_cat[0]]
+    g1 = pairs_buf[idx_cat[1]]
+    for lo, hi in ((0, split_at), (split_at, C)):
+        def halfs(g, w):
+            gl = g[:, lo:hi]
+            gr = g[:, C + lo:C + hi]
+            return (gl * w[:, 0, None].astype(cdt)
+                    + gr * w[:, 1, None].astype(cdt))
+        outs.append(halfs(g0, w_cat[0]) + halfs(g1, w_cat[1]))
+    return tuple(outs)
+
+
 def _gather_indices(levels: FlatLevels, jobs: Sequence[SampleJob], K: int):
     """Flat corner indices + tent weights for all jobs.
 
@@ -141,6 +272,45 @@ def _gather_indices(levels: FlatLevels, jobs: Sequence[SampleJob], K: int):
     idx_cat = jnp.concatenate([i.reshape(4, -1) for i in all_idx], axis=1)
     w_cat = jnp.concatenate([w.reshape(4, -1) for w in all_w], axis=1)
     return idx_cat, w_cat, job_sizes
+
+
+def _chunked_paired_matmul(pairs_buf: Array, idx_cat: Array, w_cat: Array,
+                           C: int, contracts, K: int,
+                           nchunks: int) -> List[Array]:
+    """Pixel-chunked variant of the paired gather (see
+    :func:`_chunked_gather_matmul` for the memory rationale)."""
+    rows = idx_cat.shape[1]
+    total_px = rows // K
+    px_c = -(-total_px // nchunks)
+    pad = px_c * nchunks - total_px
+    idx_px = idx_cat.reshape(2, total_px, K)
+    w_px = w_cat.reshape(2, total_px, K, 2)
+    if pad:
+        idx_px = jnp.pad(idx_px, ((0, 0), (0, pad), (0, 0)))
+        w_px = jnp.pad(w_px, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    idx_ch = idx_px.reshape(2, nchunks, px_c, K).transpose(1, 0, 2, 3)
+    w_ch = w_px.reshape(2, nchunks, px_c, K, 2).transpose(1, 0, 2, 3, 4)
+    cdt = pairs_buf.dtype
+
+    def one(args):
+        ic, wc = args
+        g = _paired_combine(pairs_buf, ic.reshape(2, -1),
+                            wc.reshape(2, -1, 2), C)
+        outs = []
+        for (c0, c1, weight, groups) in contracts:
+            v = g[:, c0:c1]
+            Cc = c1 - c0
+            cout = weight.shape[-1]
+            wmat = (weight.reshape(K * Cc, cout) if groups == 1
+                    else _blockdiag_weight(weight, K, groups)).astype(cdt)
+            outs.append(jax.lax.dot_general(
+                v.reshape(px_c, K * Cc), wmat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(cdt))
+        return tuple(outs)
+
+    outs = jax.lax.map(one, (idx_ch, w_ch))
+    return [o.reshape(-1, o.shape[-1])[:total_px] for o in outs]
 
 
 def _chunked_gather_matmul(flat: Array, idx_cat: Array, w_cat: Array,
@@ -178,21 +348,12 @@ def _chunked_gather_matmul(flat: Array, idx_cat: Array, w_cat: Array,
             v = g[:, c0:c1]                              # (px_c*K, C)
             C = c1 - c0
             cout = weight.shape[-1]
-            if groups == 1:
-                o = jax.lax.dot_general(
-                    v.reshape(px_c, K * C),
-                    weight.reshape(K * C, cout).astype(cdt),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(cdt)
-            else:
-                G = groups
-                Cg, outG = C // G, cout // G
-                o = jnp.einsum(
-                    "pkgc,kcgj->pgj",
-                    v.reshape(px_c, K, G, Cg),
-                    weight.reshape(K, Cg, G, outG).astype(cdt),
-                    preferred_element_type=jnp.float32
-                ).astype(cdt).reshape(px_c, cout)
+            wmat = (weight.reshape(K * C, cout) if groups == 1
+                    else _blockdiag_weight(weight, K, groups)).astype(cdt)
+            o = jax.lax.dot_general(
+                v.reshape(px_c, K * C), wmat,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(cdt)
             outs.append(o)
         return tuple(outs)
 
@@ -278,20 +439,12 @@ def _contract_and_split(vals: Array, jobs: Sequence[SampleJob],
     cdt = vals.dtype
     cout = weight.shape[-1]
     total_px = vals.shape[0] // K
-    if groups == 1:
-        wmat = weight.reshape(K * C, cout).astype(cdt)
-        out = jax.lax.dot_general(
-            vals.reshape(total_px, K * C), wmat,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(cdt)  # (total_px, Cout)
-    else:
-        G = groups
-        Cg, outG = C // G, cout // G
-        w = weight.reshape(K, Cg, G, outG).astype(cdt)
-        v = vals.reshape(total_px, K, G, Cg)
-        out = jnp.einsum("pkgc,kcgj->pgj", v, w,
-                         preferred_element_type=jnp.float32
-                         ).astype(cdt).reshape(total_px, cout)
+    wmat = (weight.reshape(K * C, cout) if groups == 1
+            else _blockdiag_weight(weight, K, groups)).astype(cdt)
+    out = jax.lax.dot_general(
+        vals.reshape(total_px, K * C), wmat,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(cdt)   # (total_px, Cout)
     outs: List[Array] = []
     row = 0
     for job, P in zip(jobs, job_sizes):
@@ -322,7 +475,21 @@ def batched_deform_matmul(levels: FlatLevels, jobs: Sequence[SampleJob],
         C = flat.shape[-1]
         rows = levels.B * sum(
             j.offset.shape[1] * j.offset.shape[2] * K for j in jobs)
-        if rows * C > _CHUNK_BUDGET_ELEMS[0]:
+        over = rows * C > _CHUNK_BUDGET_ELEMS[0]
+        if _use_paired(C):
+            pairs = _pair_view(flat)
+            idx_cat, w_cat, job_sizes = _gather_indices_paired(lv, jb, K)
+            if over:
+                nchunks = -(-rows * C // _CHUNK_BUDGET_ELEMS[0])
+                out = _chunked_paired_matmul(
+                    pairs, idx_cat, w_cat, C, [(0, C, weight, groups)], K,
+                    int(nchunks))[0]
+            else:
+                vals = _paired_combine(pairs, idx_cat, w_cat, C)
+                return _contract_and_split(vals, jb, job_sizes, weight, K,
+                                           lv.B, groups)
+            return _split_jobs(out, jb, job_sizes, K, lv.B)
+        if over:
             idx_cat, w_cat, job_sizes = _gather_indices(lv, jb, K)
             nchunks = -(-rows * C // _CHUNK_BUDGET_ELEMS[0])
             out = _chunked_gather_matmul(
@@ -357,7 +524,26 @@ def dual_pyramid_dcn(feats_a: Sequence[Array], feats_b: Sequence[Array],
         C = levels.flat.shape[-1]
         rows = levels.B * sum(
             j.offset.shape[1] * j.offset.shape[2] * K for j in jb)
-        if rows * C > _CHUNK_BUDGET_ELEMS[0]:
+        over = rows * C > _CHUNK_BUDGET_ELEMS[0]
+        if _use_paired(C):
+            pairs = _pair_view(levels.flat)
+            idx_cat, w_cat, job_sizes = _gather_indices_paired(levels, jb, K)
+            contracts = [(0, Ca, weight_a, 1), (Ca, C, weight_b, 1)]
+            if over:
+                nchunks = -(-rows * C // _CHUNK_BUDGET_ELEMS[0])
+                out_a, out_b = _chunked_paired_matmul(
+                    pairs, idx_cat, w_cat, C, contracts, K, int(nchunks))
+            else:
+                vals_a, vals_b = _paired_combine(pairs, idx_cat, w_cat, C,
+                                                 split_at=Ca)
+                outs_a = _contract_and_split(vals_a, jb, job_sizes,
+                                             weight_a, K, levels.B)
+                outs_b = _contract_and_split(vals_b, jb, job_sizes,
+                                             weight_b, K, levels.B)
+                return outs_a, outs_b
+            return (_split_jobs(out_a, jb, job_sizes, K, levels.B),
+                    _split_jobs(out_b, jb, job_sizes, K, levels.B))
+        if over:
             idx_cat, w_cat, job_sizes = _gather_indices(levels, jb, K)
             nchunks = -(-rows * C // _CHUNK_BUDGET_ELEMS[0])
             out_a, out_b = _chunked_gather_matmul(

@@ -201,26 +201,41 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
                 loss_fn_impl=lambda outs, batch, _cfg: loss_fn(outs, batch))
         return step_fns[canvas_hw]
 
+    # hook-driven epoch loop (reference BaseRunner.call_hook machinery,
+    # lsnet_tpu.train.hooks): logger/checkpoint/eval + cfg custom_hooks
+    from .hooks import RunnerContext, build_hooks, call_hooks
+    hooks = build_hooks(cfg, logger, eval_interval)
+    ctx = RunnerContext(cfg, work_dir, steps_per_epoch, epochs)
+    ctx.state = state
+    if "val" in cfg.data:
+        ctx.eval_fn = lambda: evaluate_detector(
+            cfg, model, ctx.state, canvas,
+            max_images=cfg.get("eval_max_images"))
+
     with mesh:
+        call_hooks(hooks, "before_train", ctx)
         for epoch in range(start_epoch, epochs):
+            ctx.epoch = epoch
+            call_hooks(hooks, "before_epoch", ctx)
             for it, batch in enumerate(loader.epoch(epoch)):
                 if max_iters_per_epoch and it >= max_iters_per_epoch:
                     break
                 batch_canvas = tuple(batch["image"].shape[1:3])
                 sharded = shard_batch_pytree(batch, mesh)
                 state, metrics = step_for(batch_canvas)(state, sharded)
-                lr = float(schedule(int(state.step)))
-                logger.log_iter(epoch + 1, it, steps_per_epoch, lr,
-                                {k: float(v) for k, v in metrics.items()})
-            ckpt = save_checkpoint(os.path.join(work_dir, "ckpts"), state,
-                                   int(state.step))
-            print(f"epoch {epoch + 1}: checkpoint -> {ckpt}", flush=True)
-            if (epoch + 1) % eval_interval == 0 and "val" in cfg.data:
-                metrics = evaluate_detector(cfg, model, state, canvas,
-                                            max_images=cfg.get(
-                                                "eval_max_images"))
-                logger.log_eval(epoch + 1, metrics)
-    return {"state": state, "work_dir": work_dir}
+                ctx.state = state
+                ctx.iter = it
+                ctx.global_step = int(state.step)
+                ctx.lr = float(schedule(int(state.step)))
+                ctx.metrics = {k: float(v) for k, v in metrics.items()}
+                call_hooks(hooks, "after_iter", ctx)
+                if ctx.should_stop:
+                    break
+            call_hooks(hooks, "after_epoch", ctx)
+            if ctx.should_stop:
+                break
+        call_hooks(hooks, "after_train", ctx)
+    return {"state": ctx.state, "work_dir": work_dir}
 
 
 def evaluate_detector(cfg, model, state, canvas, *, batch_size: int = 8,

@@ -210,3 +210,22 @@ def test_ssd_vgg_and_sac():
     # SAC params present on conv2 of stage2 blocks
     assert "switch" in v2["params"]["layer2_0"]["conv2"]
     assert "weight_diff" in v2["params"]["layer2_0"]["conv2"]
+
+
+def test_grouped_conv_dense_expansion_equivalence():
+    """GroupedConv's block-diag dense form == native grouped conv."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from lsnet_tpu.models.layers import GroupedConv
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+    m_dense = GroupedConv(16, 3, groups=4, dense_threshold=8)
+    m_group = GroupedConv(16, 3, groups=4, dense_threshold=0)
+    v = m_dense.init(jax.random.PRNGKey(0), x)
+    assert v["params"]["kernel"].shape == (3, 3, 4, 16)   # compact layout
+    a = m_dense.apply(v, x)
+    b = m_group.apply(v, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)

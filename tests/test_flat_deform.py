@@ -192,3 +192,59 @@ def test_chunked_gather_matches_unchunked():
                                        rtol=2e-5, atol=2e-5)
     finally:
         fd.set_chunk_budget(64 * 1024 * 1024)
+
+
+def test_paired_gather_matches_quad():
+    """Row-pair x-corner gather == classic 4-corner gather, including edge
+    samples (x0 = -1, x0 = W-1), masks, dual path, chunking, gradients."""
+    import numpy as np
+
+    from lsnet_tpu.ops import flat_deform as fd
+
+    rng = np.random.RandomState(0)
+    B, C, cout = 2, 8, 6
+    K = 9
+    feats = [jnp.asarray(rng.randn(B, 8, 8, C).astype(np.float32)),
+             jnp.asarray(rng.randn(B, 4, 4, C).astype(np.float32))]
+    # large offsets push samples off every border
+    offs = [jnp.asarray(3.0 * rng.randn(B, h, w, 2 * K).astype(np.float32))
+            for h, w in ((8, 8), (4, 4))]
+    masks = [jnp.asarray(rng.rand(B, h, w, K).astype(np.float32))
+             for h, w in ((8, 8), (4, 4))]
+    w1 = jnp.asarray(rng.randn(3, 3, C, cout).astype(np.float32))
+    w2 = jnp.asarray(rng.randn(3, 3, C, cout).astype(np.float32))
+    feats_b = [jnp.asarray(rng.randn(B, h, w, C).astype(np.float32))
+               for h, w in ((8, 8), (4, 4))]
+    jobs = [fd.SampleJob(i, offs[i], masks[i], (1.0, 1.0), (1, 1), (1, 1),
+                         (1, 1)) for i in range(2)]
+
+    def loss(w):
+        outs = fd.multilevel_modulated_dcn(feats, offs, masks, w)
+        return sum(jnp.sum(o ** 2) for o in outs)
+
+    try:
+        fd.PAIRED_X[0] = False
+        ref = fd.multilevel_modulated_dcn(feats, offs, masks, w1)
+        ra, rb = fd.dual_pyramid_dcn(feats, feats_b, jobs, w1, w2)
+        g_ref = jax.grad(loss)(w1)
+
+        fd.PAIRED_X[0] = True
+        got = fd.multilevel_modulated_dcn(feats, offs, masks, w1)
+        ga, gb = fd.dual_pyramid_dcn(feats, feats_b, jobs, w1, w2)
+        g_got = jax.grad(loss)(w1)
+        for r, g in zip(ref + ra + rb, got + ga + gb):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   rtol=2e-4, atol=2e-4)
+
+        # paired + chunked
+        fd.set_chunk_budget(1000)
+        got_c = fd.multilevel_modulated_dcn(feats, offs, masks, w1)
+        ga_c, gb_c = fd.dual_pyramid_dcn(feats, feats_b, jobs, w1, w2)
+        for r, g in zip(ref + ra + rb, got_c + ga_c + gb_c):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-5, atol=2e-5)
+    finally:
+        fd.PAIRED_X[0] = True
+        fd.set_chunk_budget(256 * 1024 * 1024)
