@@ -87,11 +87,11 @@ def init_detector(config: Union[str, Config],
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
     head_type = cfg.model.bbox_head.type
-    if head_type in ("RetinaHead", "FCOSHead", "ATSSHead"):
+    if head_type in ("RetinaHead", "FCOSHead", "ATSSHead", "GFLHead"):
         from .core.dense_decode import dense_decode
         from .core.dense_loss import DenseLossConfig
         kind = {"RetinaHead": "retina", "FCOSHead": "fcos",
-                "ATSSHead": "atss"}[head_type]
+                "ATSSHead": "atss", "GFLHead": "gfl"}[head_type]
 
         def decode_fn(outs, shapes, sfs, tcfg):
             dcfg = DenseLossConfig(image_shape=tcfg.image_shape,

@@ -17,22 +17,35 @@ import jax.numpy as jnp
 from . import points as P
 from .anchors import delta2bbox, distance2bbox, grid_anchors
 from .decode import Detections, TestConfig, nms_candidates
-from .dense_loss import DenseLossConfig, _fcos_points, atss_anchor_cfg
+from .dense_loss import (DenseLossConfig, _fcos_points, _integral,
+                         atss_anchor_cfg)
 
 Array = jax.Array
 
 
 def dense_decode(outs: Dict[str, Sequence[Array]], img_shapes: Array,
                  scale_factors: Array, tcfg: TestConfig,
-                 lcfg: DenseLossConfig, rescale: bool = True) -> Detections:
-    """Batched decode + NMS for retina/fcos/atss head outputs."""
+                 lcfg: DenseLossConfig, rescale: bool = True,
+                 reg_max: int = 16) -> Detections:
+    """Batched decode + NMS for retina/fcos/atss/gfl head outputs."""
     C = tcfg.num_classes
     kind = lcfg.head
+    reg_ch = (4 * (reg_max + 1) if kind == "gfl" else 4)
     cls = jnp.concatenate([m.reshape(m.shape[0], -1, C)
                            for m in outs["cls"]], axis=1)
-    reg = jnp.concatenate([m.reshape(m.shape[0], -1, 4)
+    reg = jnp.concatenate([m.reshape(m.shape[0], -1, reg_ch)
                            for m in outs["reg"]], axis=1)
-    if kind == "retina":
+    if kind == "gfl":
+        acfg = atss_anchor_cfg(lcfg)
+        anchors_np, counts = grid_anchors(acfg, lcfg.image_shape)
+        anchors = jnp.asarray(anchors_np)
+        centers = jnp.stack([(anchors[:, 0] + anchors[:, 2]) / 2,
+                             (anchors[:, 1] + anchors[:, 3]) / 2], -1)
+        stride_per = jnp.concatenate([
+            jnp.full((n,), s, jnp.float32)
+            for n, s in zip(counts, lcfg.strides)])
+        ctr = None
+    elif kind == "retina":
         anchors_np, _ = grid_anchors(lcfg.anchor, lcfg.image_shape)
         anchors = jnp.asarray(anchors_np)
         ctr = None
@@ -50,7 +63,11 @@ def dense_decode(outs: Dict[str, Sequence[Array]], img_shapes: Array,
 
     def single(cls_i, reg_i, ctr_i, img_shape, sf):
         scores = jax.nn.sigmoid(cls_i.astype(jnp.float32))
-        if kind == "fcos":
+        if kind == "gfl":
+            d = _integral(reg_i.astype(jnp.float32), reg_max) \
+                * stride_per[:, None]
+            boxes = distance2bbox(centers, d, max_shape=img_shape)
+        elif kind == "fcos":
             boxes = distance2bbox(pts, reg_i * pt_stride[:, None],
                                   max_shape=img_shape)
         else:

@@ -26,7 +26,8 @@ from ..models.losses.common import giou_loss, iou_loss, l1_loss
 from ..ops.focal_loss import sigmoid_focal_loss
 from . import points as P
 from .anchors import (AnchorConfig, anchor_valid_flags, bbox2delta,
-                      delta2bbox, distance2bbox, grid_anchors)
+                      bbox2distance, delta2bbox, distance2bbox,
+                      grid_anchors)
 from .assign import atss_assign, max_iou_assign
 
 Array = jax.Array
@@ -242,4 +243,100 @@ def atss_loss(outs: Dict[str, Sequence[Array]], batch: Dict[str, Array],
 def dense_loss(outs, batch, cfg: DenseLossConfig):
     """Dispatch by head kind (the generic ``lsnet_loss`` counterpart)."""
     return {"retina": retina_loss, "fcos": fcos_loss,
-            "atss": atss_loss}[cfg.head](outs, batch, cfg)
+            "atss": atss_loss, "gfl": gfl_loss}[cfg.head](outs, batch, cfg)
+
+
+# ------------------------------------------------------------------- GFL ---
+
+def _integral(reg_logits: Array, reg_max: int) -> Array:
+    """Distribution -> expectation (reference gfl Integral module).
+    reg_logits (..., 4*(reg_max+1)) -> distances (..., 4)."""
+    shp = reg_logits.shape[:-1]
+    p = jax.nn.softmax(reg_logits.reshape(*shp, 4, reg_max + 1), axis=-1)
+    bins = jnp.arange(reg_max + 1, dtype=p.dtype)
+    return jnp.sum(p * bins, axis=-1)
+
+
+def _dfl(reg_logits: Array, target: Array) -> Array:
+    """Distribution focal loss (reference `losses/gfocal_loss.py`
+    distribution_focal_loss): cross-entropy on the two bins flanking the
+    continuous target. reg_logits (..., n_bins), target (...) in bin units.
+    """
+    tl = jnp.floor(target).astype(jnp.int32)
+    tr = tl + 1
+    wl = tr.astype(target.dtype) - target
+    wr = target - tl.astype(target.dtype)
+    logp = jax.nn.log_softmax(reg_logits, axis=-1)
+    n_bins = reg_logits.shape[-1]
+    ll = jnp.take_along_axis(logp, jnp.clip(tl, 0, n_bins - 1)[..., None],
+                             axis=-1)[..., 0]
+    lr = jnp.take_along_axis(logp, jnp.clip(tr, 0, n_bins - 1)[..., None],
+                             axis=-1)[..., 0]
+    return -(ll * wl + lr * wr)
+
+
+def _qfl(cls_logits: Array, labels: Array, quality: Array, num_classes: int,
+         beta: float = 2.0) -> Array:
+    """Quality focal loss (reference quality_focal_loss): BCE against the
+    per-positive IoU quality score, modulated by |q - sigma|^beta."""
+    sig = jax.nn.sigmoid(cls_logits)
+    # target map: quality at the labeled class, 0 elsewhere
+    oh = jax.nn.one_hot(labels, num_classes, dtype=cls_logits.dtype)
+    y = oh * quality[..., None]
+    scale = jnp.abs(y - sig) ** beta
+    bce = (jnp.maximum(cls_logits, 0) - cls_logits * y
+           + jnp.log1p(jnp.exp(-jnp.abs(cls_logits))))
+    return scale * bce
+
+
+def gfl_loss(outs: Dict[str, Sequence[Array]], batch: Dict[str, Array],
+             cfg: DenseLossConfig, reg_max: int = 16):
+    acfg = atss_anchor_cfg(cfg)
+    anchors_np, counts = grid_anchors(acfg, cfg.image_shape)
+    anchors = jnp.asarray(anchors_np)
+    C = cfg.num_classes
+    cls = _flatten(outs["cls"], C).astype(jnp.float32)
+    reg = _flatten(outs["reg"], 4 * (reg_max + 1)).astype(jnp.float32)
+    centers = jnp.stack([(anchors[:, 0] + anchors[:, 2]) / 2,
+                         (anchors[:, 1] + anchors[:, 3]) / 2], -1)
+    stride_per = jnp.concatenate([
+        jnp.full((n,), s, jnp.float32)
+        for n, s in zip(counts, cfg.strides)])
+
+    def single(cls_i, reg_i, gt_bboxes, gt_valid, gt_labels, img_shape):
+        pvalid = anchor_valid_flags(acfg, cfg.image_shape, img_shape)
+        res = atss_assign(anchors, pvalid, counts, gt_bboxes, gt_valid,
+                          topk=cfg.topk)
+        pos = res.gt_idx >= 0
+        posf = pos.astype(jnp.float32)
+        labels = jnp.where(pos, gt_labels[jnp.maximum(res.gt_idx, 0)], C)
+        num_pos = jnp.maximum(jnp.sum(posf), 1.0)
+        tgt = gt_bboxes[jnp.maximum(res.gt_idx, 0)]
+
+        dists = _integral(reg_i, reg_max) * stride_per[:, None]
+        pred_boxes = distance2bbox(centers, dists)
+        from ..models.losses.common import bbox_overlaps_aligned
+        quality = jax.lax.stop_gradient(
+            bbox_overlaps_aligned(pred_boxes, tgt)) * posf
+
+        lq = _qfl(cls_i, labels, quality, C)
+        loss_cls = jnp.sum(lq * pvalid.astype(jnp.float32)[:, None]) / num_pos
+
+        tgt_dist = jnp.clip(
+            bbox2distance(centers, tgt) / stride_per[:, None],
+            0.0, reg_max - 0.1)
+        ldfl = _dfl(reg_i.reshape(-1, 4, reg_max + 1),
+                    tgt_dist).mean(-1)                    # (N,)
+        w = quality
+        wsum = jnp.maximum(jnp.sum(w), 1e-6)
+        loss_dfl = jnp.sum(ldfl * w) / wsum * 0.25
+        loss_bbox = giou_loss(pred_boxes, tgt, w, reduction="mean",
+                              avg_factor=wsum, loss_weight=2.0)
+        return loss_cls * cfg.cls_weight, loss_bbox, loss_dfl
+
+    lc, lb, ld = jax.vmap(single)(cls, reg, batch["gt_bboxes"],
+                                  batch["gt_valid"], batch["gt_labels"],
+                                  batch["img_shape"])
+    losses = {"loss_cls": lc.mean(), "loss_bbox": lb.mean(),
+              "loss_dfl": ld.mean()}
+    return sum(losses.values()), losses

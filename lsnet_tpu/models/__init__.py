@@ -21,7 +21,7 @@ from .backbones.resnet import ResNet  # noqa: E402
 from .necks.fpn import FPN  # noqa: E402
 from .heads.ls_head import LSHead  # noqa: E402
 from .heads.lscpv_head import LSCPVHead  # noqa: E402
-from .heads.dense import ATSSHead, FCOSHead, RetinaHead  # noqa: E402
+from .heads.dense import ATSSHead, FCOSHead, GFLHead, RetinaHead  # noqa: E402
 from .detectors.lsnet import LSDetector  # noqa: E402
 
 # string-typed assembly (the builders below add the config-key translation
@@ -34,6 +34,7 @@ HEADS.register_module(module=LSCPVHead)
 HEADS.register_module(module=RetinaHead)
 HEADS.register_module(module=FCOSHead)
 HEADS.register_module(module=ATSSHead)
+HEADS.register_module(module=GFLHead)
 DETECTORS.register_module(module=LSDetector)
 
 
@@ -163,7 +164,7 @@ def build_head(cfg: Dict[str, Any]):
         if "num_points" in cfg:
             cfg["num_kernel_points"] = cfg.pop("num_points")
         return LSCPVHead(**cfg), loss_cfgs
-    if kind in ("RetinaHead", "FCOSHead", "ATSSHead"):
+    if kind in ("RetinaHead", "FCOSHead", "ATSSHead", "GFLHead"):
         # assigner/coder/anchor settings live in the loss config, not the
         # flax module (mmdet folds them into the head; we keep the split)
         for k in ("anchor_generator", "bbox_coder", "train_cfg", "test_cfg",
@@ -179,7 +180,7 @@ def build_head(cfg: Dict[str, Any]):
                     kind == "FCOSHead":
                 cfg[k] = tuple(v) if k == "strides" else v
         head_cls = {"RetinaHead": RetinaHead, "FCOSHead": FCOSHead,
-                    "ATSSHead": ATSSHead}[kind]
+                    "ATSSHead": ATSSHead, "GFLHead": GFLHead}[kind]
         return head_cls(**cfg), loss_cfgs
     return _registry_build(HEADS, kind, cfg), loss_cfgs
 
@@ -194,8 +195,8 @@ def build_detector(cfg: Dict[str, Any]):
     backbone = build_backbone(cfg.pop("backbone"))
     neck = build_neck(cfg.pop("neck"))
     head, loss_cfgs = build_head(cfg.pop("bbox_head"))
-    if kind in ("LSDetector", "LSCPVDetector",
-                "RetinaNet", "FCOS", "ATSS", "SingleStageDetector"):
+    if kind in ("LSDetector", "LSCPVDetector", "RetinaNet", "FCOS",
+                "ATSS", "GFL", "SingleStageDetector"):
         # all single-stage: backbone -> neck -> head assembly
         return LSDetector(backbone=backbone, neck=neck, head=head), loss_cfgs
     det_cls = DETECTORS.get(kind)

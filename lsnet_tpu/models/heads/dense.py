@@ -134,3 +134,34 @@ class ATSSHead(nn.Module):
             reg_maps.append(reg_out(rf) * scales[i].astype(f.dtype))
             ctr_maps.append(ctr_out(rf))
         return {"cls": cls_maps, "reg": reg_maps, "centerness": ctr_maps}
+
+
+class GFLHead(nn.Module):
+    """Generalized Focal Loss head (reference
+    `/root/reference/code/mmdet/models/dense_heads/gfl_head.py`): joint
+    quality-classification branch + discretized box-distribution regression
+    (4 sides x (reg_max+1) logits, decoded by the integral operator)."""
+    num_classes: int
+    in_channels: int = 256
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    reg_max: int = 16
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array]) -> Dict[str, List[Array]]:
+        cls_tower = _Tower(self.stacked_convs, self.feat_channels, True,
+                           "cls_conv")
+        reg_tower = _Tower(self.stacked_convs, self.feat_channels, True,
+                           "reg_conv")
+        cls_out = _conv3(self.num_classes, "gfl_cls",
+                         bias_init=_prior_bias)
+        reg_out = _conv3(4 * (self.reg_max + 1), "gfl_reg")
+        scales = self.param("scales", nn.initializers.ones,
+                            (len(feats),), jnp.float32)
+        cls_maps, reg_maps = [], []
+        for i, f in enumerate(feats):
+            cf = cls_tower(f)
+            rf = reg_tower(f)
+            cls_maps.append(cls_out(cf))
+            reg_maps.append(reg_out(rf) * scales[i].astype(f.dtype))
+        return {"cls": cls_maps, "reg": reg_maps}

@@ -76,7 +76,7 @@ def make_loss_for(cfg, image_shape):
     from ..core.dense_loss import DenseLossConfig, dense_loss
     head = cfg.model.bbox_head
     kind = {"RetinaHead": "retina", "FCOSHead": "fcos",
-            "ATSSHead": "atss"}[head_type]
+            "ATSSHead": "atss", "GFLHead": "gfl"}[head_type]
     tc = cfg.get("train_cfg", {})
     assigner = tc.get("assigner", {})
     dcfg = DenseLossConfig(
@@ -260,11 +260,12 @@ def evaluate_detector(cfg, model, state, canvas, *, batch_size: int = 8,
     def decode_for(canvas_hw):
         if canvas_hw not in tcfgs:
             tcfg = test_cfg_from(cfg, canvas_hw)
-            if head_type in ("RetinaHead", "FCOSHead", "ATSSHead"):
+            if head_type in ("RetinaHead", "FCOSHead", "ATSSHead",
+                             "GFLHead"):
                 from ..core.dense_decode import dense_decode
                 from ..core.dense_loss import DenseLossConfig
                 kind = {"RetinaHead": "retina", "FCOSHead": "fcos",
-                        "ATSSHead": "atss"}[head_type]
+                        "ATSSHead": "atss", "GFLHead": "gfl"}[head_type]
                 dcfg = DenseLossConfig(image_shape=canvas_hw,
                                        num_classes=tcfg.num_classes,
                                        head=kind)

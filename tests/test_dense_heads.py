@@ -221,3 +221,50 @@ def test_dense_configs_build():
         cfg = Config.fromfile(path)
         model, _ = build_detector(cfg.model.to_dict())
         assert model is not None
+
+
+@pytest.mark.slow
+def test_gfl_head_loss_decode():
+    """GFL: forward shapes, finite loss with/without GT, integral decode."""
+    from lsnet_tpu.core.decode import TestConfig
+    from lsnet_tpu.core.dense_decode import dense_decode
+    from lsnet_tpu.core.dense_loss import dense_loss, _integral
+    from lsnet_tpu.models.heads.dense import GFLHead
+
+    head = GFLHead(num_classes=4, in_channels=32, feat_channels=32,
+                   stacked_convs=1, reg_max=8)
+    feats = _feats()
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    outs = head.apply(variables, feats)
+    assert outs["reg"][0].shape[-1] == 4 * 9
+    # integral of a softmax distribution lies within [0, reg_max]
+    d = np.asarray(_integral(jnp.asarray(outs["reg"][0]), 8))
+    assert (d >= 0).all() and (d <= 8).all()
+
+    from lsnet_tpu.core.dense_loss import gfl_loss
+    cfg = _loss_cfg("gfl")
+    total, losses = gfl_loss(outs, _batch(), cfg, reg_max=8)
+    assert np.isfinite(float(total))
+    assert {"loss_cls", "loss_bbox", "loss_dfl"} == set(losses)
+    total0, _ = gfl_loss(outs, _batch(empty=True), cfg, reg_max=8)
+    assert np.isfinite(float(total0))
+
+    tcfg = TestConfig(image_shape=IMG, num_classes=4, nms_pre=200,
+                      score_thr=0.0, max_per_img=10)
+    det = dense_decode(outs, jnp.asarray([[64, 64]] * 2, jnp.int32),
+                       jnp.ones((2, 4), jnp.float32), tcfg, cfg, reg_max=8)
+    b = np.asarray(det.bboxes)
+    assert np.isfinite(b).all()
+    assert np.asarray(det.valid).any()
+
+
+def test_dfl_golden_math():
+    """DFL on a hand-computed case: target 2.3 between bins 2 and 3."""
+    from lsnet_tpu.core.dense_loss import _dfl
+
+    logits = jnp.asarray(np.log(np.array(
+        [[0.1, 0.1, 0.5, 0.2, 0.1]], np.float32)))
+    t = jnp.asarray(np.array([2.3], np.float32))
+    got = float(_dfl(logits, t)[0])
+    want = -(0.7 * np.log(0.5) + 0.3 * np.log(0.2))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
