@@ -72,6 +72,8 @@ def bucket_canvas(scale: Tuple[int, int], h: int, w: int,
 def init_detector(config: Union[str, Config],
                   checkpoint: Optional[str] = None,
                   canvas: Optional[Tuple[int, int]] = None) -> DetectorBundle:
+    from . import enable_compile_cache
+    enable_compile_cache()
     cfg = Config.fromfile(config) if isinstance(config, str) else config
     canvas = tuple(canvas or cfg.get("canvas_shape", (800, 1344)))
     model, _ = build_detector(cfg.model.to_dict())

@@ -119,6 +119,8 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
                    resume_from: Optional[str] = None,
                    eval_interval: int = 1) -> Dict[str, Any]:
     """Full training run from a Config. Returns final state + metrics."""
+    from .. import enable_compile_cache
+    enable_compile_cache()
     os.makedirs(work_dir, exist_ok=True)
     logger = JsonLogger(work_dir, interval=cfg.get("log_interval", 50))
     print("environment:", dict(collect_env()), flush=True)

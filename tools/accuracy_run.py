@@ -124,7 +124,9 @@ def main():
                            img_scale=(IMG_W, IMG_H))),
         optimizer=dict(lr=0.01, momentum=0.9, weight_decay=1e-4),
         optimizer_config=dict(grad_clip=dict(max_norm=35)),
-        lr_config=dict(policy="step", step=[8, 11]),
+        lr_config=dict(policy="step",
+                       step=[int(args.epochs * 2 / 3),
+                             int(args.epochs * 11 / 12)]),
         evaluation=dict(interval=100),     # eval once at the end, below
         max_instances=8,
         log_interval=10,
