@@ -88,6 +88,27 @@ def init_detector(config: Union[str, Config],
                                    create_train_state(variables, tx))
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
+    if cfg.model.type in ("FasterRCNN", "TwoStageDetector"):
+        from .core.two_stage import two_stage_decode
+        from .train.loop import two_stage_cfg_from
+
+        bundle = DetectorBundle(model, variables, cfg, canvas, None, None)
+
+        def fwd_for(canvas_hw):
+            canvas_hw = tuple(int(v) for v in canvas_hw)
+            if bundle._fwd_cache is None:
+                bundle._fwd_cache = {}
+            if canvas_hw not in bundle._fwd_cache:
+                tscfg = two_stage_cfg_from(cfg, canvas_hw)
+                tcfg = test_cfg_from(cfg, canvas_hw)
+                bundle._fwd_cache[canvas_hw] = jax.jit(
+                    lambda v, im, sh, sf: two_stage_decode(
+                        model, v, im, sh, sf, tscfg, tcfg))
+            return bundle._fwd_cache[canvas_hw]
+
+        bundle.fwd_for = fwd_for
+        bundle.fwd = fwd_for(canvas)
+        return bundle
     head_type = cfg.model.bbox_head.type
     if head_type in ("RetinaHead", "FCOSHead", "ATSSHead", "GFLHead"):
         from .core.dense_decode import dense_decode

@@ -1,0 +1,274 @@
+"""Two-stage (Faster R-CNN) training/inference logic — pure functions.
+
+Rebuilds the reference flow (`/root/reference/code/mmdet/models/detectors/
+two_stage.py` + `rpn_head.py` get_bboxes + `roi_heads/standard_roi_head.py`)
+with static shapes throughout: proposals are fixed-count padded sets, RoI
+sampling picks a fixed quota per image (deterministic top-IoU positives +
+strided negatives — the TPU stand-in for mmdet's RandomSampler; the quota
+and pos-fraction semantics match), and the RCNN decode reuses the on-device
+class-wise NMS.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.nms import NEG_INF, batched_nms, box_iou, nms as plain_nms
+from .anchors import (AnchorConfig, anchor_valid_flags, bbox2delta,
+                      delta2bbox, grid_anchors)
+from .assign import max_iou_assign
+from .decode import Detections, TestConfig, nms_candidates
+from .dense_loss import _bce_logits, _flatten
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class TwoStageConfig:
+    image_shape: Tuple[int, int]
+    num_classes: int
+    strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+    # RPN anchors: 1 scale x 3 ratios per level (reference faster_rcnn cfg)
+    anchor_scales: Tuple[float, ...] = (8.0,)
+    anchor_ratios: Tuple[float, ...] = (0.5, 1.0, 2.0)
+    # RPN assignment/sampling
+    rpn_pos_iou: float = 0.7
+    rpn_neg_iou: float = 0.3
+    rpn_num_samples: int = 256
+    # proposals
+    nms_pre: int = 1000
+    proposal_count: int = 512      # post-NMS proposals kept (train+test)
+    proposal_nms_iou: float = 0.7
+    # RCNN
+    rcnn_pos_iou: float = 0.5
+    rcnn_num_samples: int = 512
+    rcnn_pos_fraction: float = 0.25
+    rcnn_stds: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
+
+
+def rpn_anchor_cfg(cfg: TwoStageConfig) -> AnchorConfig:
+    return AnchorConfig(strides=cfg.strides, ratios=cfg.anchor_ratios,
+                        octave_base_scale=float(cfg.anchor_scales[0]),
+                        scales_per_octave=len(cfg.anchor_scales))
+
+
+def rpn_proposals(rpn_outs: Dict[str, Sequence[Array]],
+                  img_shapes: Array, cfg: TwoStageConfig
+                  ) -> Tuple[Array, Array]:
+    """RPN maps -> per-image fixed-count proposals.
+
+    Returns (proposals (B, P, 4), valid (B, P))."""
+    acfg = rpn_anchor_cfg(cfg)
+    anchors_np, _ = grid_anchors(acfg, cfg.image_shape)
+    anchors = jnp.asarray(anchors_np)
+    scores = _flatten(rpn_outs["rpn_cls"], 1)[..., 0].astype(jnp.float32)
+    deltas = _flatten(rpn_outs["rpn_reg"], 4).astype(jnp.float32)
+
+    def single(score_i, delta_i, img_shape):
+        k = min(cfg.nms_pre, score_i.shape[0])
+        top_s, top_i = jax.lax.top_k(score_i, k)
+        boxes = delta2bbox(anchors[top_i], delta_i[top_i],
+                           max_shape=img_shape)
+        keep_idx, keep_s, keep_v = plain_nms(
+            boxes, jax.nn.sigmoid(top_s), cfg.proposal_nms_iou,
+            cfg.proposal_count)
+        props = boxes[keep_idx] * keep_v[:, None].astype(boxes.dtype)
+        return props, keep_v
+
+    return jax.vmap(single)(scores, deltas, img_shapes)
+
+
+def _rois_with_batch_idx(proposals: Array) -> Array:
+    """(B, P, 4) -> (B*P, 5) [batch_idx, x1, y1, x2, y2]."""
+    B, P, _ = proposals.shape
+    bi = jnp.repeat(jnp.arange(B, dtype=proposals.dtype), P)[:, None]
+    return jnp.concatenate([bi, proposals.reshape(B * P, 4)], axis=1)
+
+
+def sample_rois(proposals: Array, prop_valid: Array, gt_bboxes: Array,
+                gt_valid: Array, gt_labels: Array, cfg: TwoStageConfig):
+    """Fixed-quota RoI sampling + targets (reference RandomSampler +
+    bbox target encoding, deterministic TPU variant).
+
+    Returns dict with rois (B, S, 4), labels (B, S) (num_classes =
+    background), reg targets (B, S, 4), pos mask, valid mask."""
+    S = cfg.rcnn_num_samples
+    n_pos_max = int(S * cfg.rcnn_pos_fraction)
+
+    def single(props, pvalid, gts, gvalid, glabels):
+        # append GT boxes as candidate positives (reference add_gt_as_proposals)
+        cand = jnp.concatenate([gts, props], axis=0)
+        cvalid = jnp.concatenate([gvalid, pvalid], axis=0)
+        ious = box_iou(cand, gts)                            # (P', M)
+        ious = jnp.where(cvalid[:, None] & gvalid[None, :], ious, -1.0)
+        max_iou = ious.max(axis=1)
+        arg = ious.argmax(axis=1)
+        is_pos = (max_iou >= cfg.rcnn_pos_iou) & cvalid
+        is_neg = (max_iou < cfg.rcnn_pos_iou) & (max_iou >= 0) & cvalid
+
+        # deterministic quota: top-IoU positives, then top-scoring... use
+        # highest-IoU negatives first (hard negatives)
+        pos_rank = jnp.where(is_pos, max_iou, -jnp.inf)
+        _, pos_idx = jax.lax.top_k(pos_rank, n_pos_max)
+        pos_ok = is_pos[pos_idx]
+        neg_rank = jnp.where(is_neg, max_iou, -jnp.inf)
+        _, neg_idx = jax.lax.top_k(neg_rank, S - n_pos_max)
+        neg_ok = is_neg[neg_idx]
+
+        sel = jnp.concatenate([pos_idx, neg_idx])
+        sel_pos = jnp.concatenate([pos_ok, jnp.zeros_like(neg_ok)])
+        sel_ok = jnp.concatenate([pos_ok, neg_ok])
+        rois = cand[sel]
+        tgt_gt = gts[arg[sel]]
+        labels = jnp.where(sel_pos, glabels[arg[sel]], cfg.num_classes)
+        safe_tgt = jnp.where(sel_pos[:, None], tgt_gt, rois)
+        # degenerate rois (padded zeros) would produce log(0) deltas
+        safe_rois = jnp.where(sel_ok[:, None], rois,
+                              jnp.asarray([0.0, 0.0, 1.0, 1.0]))
+        deltas = bbox2delta(safe_rois, jnp.where(sel_pos[:, None], safe_tgt,
+                                                 safe_rois),
+                            stds=cfg.rcnn_stds)
+        return rois, labels, deltas, sel_pos, sel_ok
+
+    return jax.vmap(single)(proposals, prop_valid, gt_bboxes, gt_valid,
+                            gt_labels)
+
+
+def rpn_loss(rpn_outs: Dict[str, Sequence[Array]], batch: Dict[str, Array],
+             cfg: TwoStageConfig):
+    acfg = rpn_anchor_cfg(cfg)
+    anchors_np, _ = grid_anchors(acfg, cfg.image_shape)
+    anchors = jnp.asarray(anchors_np)
+    scores = _flatten(rpn_outs["rpn_cls"], 1)[..., 0].astype(jnp.float32)
+    deltas = _flatten(rpn_outs["rpn_reg"], 4).astype(jnp.float32)
+
+    def single(score_i, delta_i, gts, gvalid, img_shape):
+        pvalid = anchor_valid_flags(acfg, cfg.image_shape, img_shape)
+        res = max_iou_assign(anchors, pvalid, gts, gvalid,
+                             pos_iou_thr=cfg.rpn_pos_iou,
+                             neg_iou_thr=cfg.rpn_neg_iou,
+                             min_pos_iou=cfg.rpn_neg_iou)
+        pos = res.gt_idx >= 0
+        posf = pos.astype(jnp.float32)
+        # fixed sample quota: all positives (typically few) + hardest
+        # negatives up to rpn_num_samples total (reference RandomSampler)
+        neg = (~pos) & pvalid & ~res.ignore
+        n_pos = jnp.sum(posf)
+        neg_quota = jnp.maximum(cfg.rpn_num_samples - n_pos, 1.0)
+        neg_rank = jnp.where(neg, score_i, -jnp.inf)      # hard negatives
+        thr_k = min(cfg.rpn_num_samples, score_i.shape[0])
+        top_neg, _ = jax.lax.top_k(neg_rank, thr_k)
+        kth = top_neg[jnp.clip(neg_quota.astype(jnp.int32) - 1, 0,
+                               thr_k - 1)]
+        neg_sel = neg & (score_i >= kth)
+        wc = posf + neg_sel.astype(jnp.float32)
+        n_samp = jnp.maximum(jnp.sum(wc), 1.0)
+        tgt = jnp.where(pos[:, None], gts[jnp.maximum(res.gt_idx, 0)],
+                        anchors)
+        loss_cls = jnp.sum(
+            _bce_logits(score_i, posf) * wc) / n_samp
+        d = bbox2delta(anchors, tgt)
+        loss_reg = jnp.sum(jnp.abs(delta_i - d).sum(-1) * posf) \
+            / jnp.maximum(n_pos, 1.0)
+        return loss_cls, loss_reg
+
+    lc, lr = jax.vmap(single)(scores, deltas, batch["gt_bboxes"],
+                              batch["gt_valid"], batch["img_shape"])
+    return lc.mean(), lr.mean()
+
+
+def rcnn_loss(cls_logits: Array, reg: Array, labels: Array, deltas: Array,
+              pos: Array, valid: Array, cfg: TwoStageConfig):
+    """Softmax CE + per-class smooth-L1 on sampled RoIs.
+
+    cls_logits (B*S, C+1), reg (B*S, 4C); labels/deltas/pos/valid (B, S...).
+    """
+    C = cfg.num_classes
+    BS = cls_logits.shape[0]
+    labels_f = labels.reshape(-1)
+    valid_f = valid.reshape(-1).astype(jnp.float32)
+    pos_f = pos.reshape(-1).astype(jnp.float32)
+    logp = jax.nn.log_softmax(cls_logits.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, labels_f[:, None], axis=-1)[:, 0]
+    n_valid = jnp.maximum(jnp.sum(valid_f), 1.0)
+    loss_cls = jnp.sum(ce * valid_f) / n_valid
+
+    reg = reg.reshape(BS, C, 4).astype(jnp.float32)
+    cls_idx = jnp.clip(labels_f, 0, C - 1)
+    reg_sel = jnp.take_along_axis(reg, cls_idx[:, None, None].repeat(4, -1),
+                                  axis=1)[:, 0]
+    diff = jnp.abs(reg_sel - deltas.reshape(BS, 4))
+    sl1 = jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5).sum(-1)
+    n_pos = jnp.maximum(jnp.sum(pos_f), 1.0)
+    loss_reg = jnp.sum(sl1 * pos_f) / n_pos
+    return loss_cls, loss_reg
+
+
+def two_stage_loss(model, variables, batch: Dict[str, Array],
+                   cfg: TwoStageConfig):
+    """Full Faster R-CNN training loss (one jitted function):
+    backbone+neck once, RPN loss, proposals, RoI sampling, RCNN loss."""
+    feats = model.apply(variables, batch["image"], method="extract")
+    rpn_outs = model.apply(variables, feats, method="rpn")
+    l_rpn_cls, l_rpn_reg = rpn_loss(rpn_outs, batch, cfg)
+    props, pvalid = rpn_proposals(
+        jax.tree.map(jax.lax.stop_gradient, rpn_outs),
+        batch["img_shape"], cfg)
+    rois, labels, deltas, pos, valid = sample_rois(
+        props, pvalid, batch["gt_bboxes"], batch["gt_valid"],
+        batch["gt_labels"], cfg)
+    cls_logits, reg = model.apply(
+        variables, feats, _rois_with_batch_idx(rois), method="roi_forward")
+    l_cls, l_reg = rcnn_loss(cls_logits, reg, labels, deltas, pos, valid,
+                             cfg)
+    losses = {"loss_rpn_cls": l_rpn_cls, "loss_rpn_bbox": l_rpn_reg,
+              "loss_cls": l_cls, "loss_bbox": l_reg}
+    return sum(losses.values()), losses
+
+
+def two_stage_decode(model, variables, images: Array, img_shapes: Array,
+                     scale_factors: Array, cfg: TwoStageConfig,
+                     tcfg: TestConfig, rescale: bool = True) -> Detections:
+    """simple_test: proposals -> RoI head -> per-class delta decode + NMS."""
+    feats = model.apply(variables, images, method="extract")
+    rpn_outs = model.apply(variables, feats, method="rpn")
+    props, pvalid = rpn_proposals(rpn_outs, img_shapes, cfg)
+    cls_logits, reg = model.apply(
+        variables, feats, _rois_with_batch_idx(props), method="roi_forward")
+    B, P, _ = props.shape
+    C = cfg.num_classes
+    cls_logits = cls_logits.reshape(B, P, C + 1)
+    reg = reg.reshape(B, P, C, 4)
+
+    def single(props_i, pvalid_i, cls_i, reg_i, img_shape, sf):
+        probs = jax.nn.softmax(cls_i.astype(jnp.float32), -1)[:, :C]
+        probs = probs * pvalid_i[:, None].astype(probs.dtype)
+        boxes = delta2bbox(props_i[:, None, :].repeat(C, 1),
+                           reg_i.astype(jnp.float32),
+                           stds=cfg.rcnn_stds, max_shape=img_shape)
+        if rescale:
+            boxes = boxes / sf[None, None, :]
+        # (P*C) candidates with per-class boxes
+        flat_boxes = boxes.reshape(P * C, 4)
+        flat_scores = probs.reshape(P * C)
+        flat_labels = jnp.tile(jnp.arange(C, dtype=jnp.int32), (P,))
+        cand_scores = jnp.where(flat_scores > tcfg.score_thr, flat_scores,
+                                NEG_INF)
+        k = min(tcfg.nms_pre, P * C)
+        top_s, top_i = jax.lax.top_k(cand_scores, k)
+        keep_idx, keep_s, keep_v = batched_nms(
+            flat_boxes[top_i], top_s, flat_labels[top_i], tcfg.nms_iou,
+            tcfg.max_per_img)
+        z = keep_v[:, None].astype(boxes.dtype)
+        return Detections(flat_boxes[top_i][keep_idx] * z,
+                          jnp.where(keep_v, keep_s, 0.0),
+                          flat_labels[top_i][keep_idx] * keep_v,
+                          jnp.zeros((tcfg.max_per_img, 8), boxes.dtype),
+                          keep_v)
+
+    return jax.vmap(single)(props, pvalid, cls_logits, reg, img_shapes,
+                            scale_factors)

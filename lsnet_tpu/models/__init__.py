@@ -194,6 +194,31 @@ def build_detector(cfg: Dict[str, Any]):
     cfg.pop("pretrained", None)
     backbone = build_backbone(cfg.pop("backbone"))
     neck = build_neck(cfg.pop("neck"))
+    if kind in ("FasterRCNN", "TwoStageDetector"):
+        from .heads.two_stage import (RPNHead, Shared2FCBBoxHead,
+                                      TwoStageDetector)
+        rpn_cfg = dict(cfg.pop("rpn_head", {}))
+        rpn_cfg.pop("type", None)
+        anchor_gen = rpn_cfg.pop("anchor_generator", {})
+        for k in list(rpn_cfg):
+            if k.startswith("loss_") or k in ("bbox_coder", "train_cfg",
+                                              "test_cfg"):
+                rpn_cfg.pop(k)
+        n_base = (len(anchor_gen.get("ratios", [0.5, 1.0, 2.0]))
+                  * len(anchor_gen.get("scales", [8])))
+        roi_cfg = dict(cfg.pop("roi_head", {}))
+        bh = dict(roi_cfg.get("bbox_head", {}))
+        num_classes = bh.get("num_classes", 80)
+        rpn = RPNHead(num_base_anchors=n_base, **{
+            k: v for k, v in rpn_cfg.items()
+            if k in ("in_channels", "feat_channels")})
+        bbox_head = Shared2FCBBoxHead(
+            num_classes=num_classes,
+            fc_channels=bh.get("fc_out_channels", 1024),
+            reg_class_agnostic=bh.get("reg_class_agnostic", False))
+        det = TwoStageDetector(backbone=backbone, neck=neck, rpn_head=rpn,
+                               bbox_head=bbox_head)
+        return det, {"num_classes": num_classes}
     head, loss_cfgs = build_head(cfg.pop("bbox_head"))
     if kind in ("LSDetector", "LSCPVDetector", "RetinaNet", "FCOS",
                 "ATSS", "GFL", "SingleStageDetector"):

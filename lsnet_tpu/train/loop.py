@@ -61,6 +61,33 @@ def loss_cfg_from(cfg, image_shape) -> LossConfig:
     )
 
 
+def two_stage_cfg_from(cfg, image_shape):
+    """TwoStageConfig from a faster_rcnn-style config tree."""
+    from ..core.two_stage import TwoStageConfig
+    tc = cfg.get("train_cfg", {}) or {}
+    rpn = tc.get("rpn", {}).get("assigner", {})
+    prop = tc.get("rpn_proposal", {})
+    rcnn = tc.get("rcnn", {})
+    num_classes = cfg.model.roi_head.bbox_head.num_classes
+    return TwoStageConfig(
+        image_shape=image_shape,
+        num_classes=num_classes,
+        rpn_pos_iou=rpn.get("pos_iou_thr", 0.7),
+        rpn_neg_iou=rpn.get("neg_iou_thr", 0.3),
+        rpn_num_samples=tc.get("rpn", {}).get("sampler", {}).get("num", 256),
+        nms_pre=prop.get("nms_pre", 1000),
+        proposal_count=min(prop.get("max_per_img", 512), 512),
+        proposal_nms_iou=prop.get("nms", {}).get("iou_threshold", 0.7),
+        rcnn_pos_iou=rcnn.get("assigner", {}).get("pos_iou_thr", 0.5),
+        rcnn_num_samples=rcnn.get("sampler", {}).get("num", 512),
+        rcnn_pos_fraction=rcnn.get("sampler", {}).get("pos_fraction", 0.25),
+    )
+
+
+def _is_two_stage(cfg) -> bool:
+    return cfg.model.type in ("FasterRCNN", "TwoStageDetector")
+
+
 def make_loss_for(cfg, image_shape):
     """(loss_fn, loss_cfg) dispatch over the head family: LSHead ->
     lsnet_loss, LSCPVHead -> lscpv_loss, Retina/FCOS/ATSS -> dense_loss."""
@@ -96,8 +123,11 @@ def make_loss_for(cfg, image_shape):
 
 
 def test_cfg_from(cfg, image_shape) -> TestConfig:
-    head = cfg.model.bbox_head
+    head = cfg.model.get(
+        "bbox_head", cfg.model.get("roi_head", {}).get("bbox_head", {}))
     tc = cfg.test_cfg
+    if "rcnn" in tc:
+        tc = tc.rcnn
     return TestConfig(
         image_shape=image_shape,
         num_classes=head.num_classes,
@@ -125,7 +155,8 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
     logger = JsonLogger(work_dir, interval=cfg.get("log_interval", 50))
     print("environment:", dict(collect_env()), flush=True)
 
-    head = cfg.model.bbox_head
+    head = cfg.model.get(
+        "bbox_head", cfg.model.get("roi_head", {}).get("bbox_head", {}))
     task = {"bbox": "bbox", "segm": "segm",
             "pose_bbox": "pose", "pose_kbox": "pose"}[head.get("task", "bbox")]
     data_cfg = cfg.data
@@ -197,10 +228,19 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
 
     def step_for(canvas_hw: Tuple[int, int]):
         if canvas_hw not in step_fns:
-            loss_fn = make_loss_for(cfg, canvas_hw)
-            step_fns[canvas_hw] = make_train_step(
-                model, tx, None, mesh=mesh,
-                loss_fn_impl=lambda outs, batch, _cfg: loss_fn(outs, batch))
+            if _is_two_stage(cfg):
+                from ..core.two_stage import two_stage_loss
+                tscfg = two_stage_cfg_from(cfg, canvas_hw)
+                step_fns[canvas_hw] = make_train_step(
+                    model, tx, None, mesh=mesh,
+                    full_loss_fn=lambda variables, batch: two_stage_loss(
+                        model, variables, batch, tscfg))
+            else:
+                loss_fn = make_loss_for(cfg, canvas_hw)
+                step_fns[canvas_hw] = make_train_step(
+                    model, tx, None, mesh=mesh,
+                    loss_fn_impl=lambda outs, batch, _cfg: loss_fn(
+                        outs, batch))
         return step_fns[canvas_hw]
 
     # hook-driven epoch loop (reference BaseRunner.call_hook machinery,
@@ -247,7 +287,8 @@ def evaluate_detector(cfg, model, state, canvas, *, batch_size: int = 8,
     Batches are grouped by image orientation so each group pads onto one
     static canvas (``canvas`` is the landscape one; portrait is its
     transpose)."""
-    head = cfg.model.bbox_head
+    head = cfg.model.get(
+        "bbox_head", cfg.model.get("roi_head", {}).get("bbox_head", {}))
     task = {"bbox": "bbox", "segm": "segm",
             "pose_bbox": "pose", "pose_kbox": "pose"}[head.get("task", "bbox")]
     ds = CocoDataset(DatasetConfig(
@@ -257,7 +298,9 @@ def evaluate_detector(cfg, model, state, canvas, *, batch_size: int = 8,
         test_mode=True)
     fwd = make_eval_forward(model)
     tcfgs = {}
-    head_type = cfg.model.bbox_head.type
+    head_type = cfg.model.get(
+        "bbox_head", cfg.model.get("roi_head", {}).get("bbox_head", {})
+    ).get("type", "TwoStage" if _is_two_stage(cfg) else "LSHead")
 
     def decode_for(canvas_hw):
         if canvas_hw not in tcfgs:
@@ -300,9 +343,18 @@ def evaluate_detector(cfg, model, state, canvas, *, batch_size: int = 8,
             samples = [ds.get_sample(i) for i in idxs]
             batch = collate_batch(samples, cv, task=task,
                                   num_vectors=head.get("num_vectors", 4))
-            outs = fwd(variables, jnp.asarray(batch["image"]))
-            det = decode_for(cv)(outs, jnp.asarray(batch["img_shape"]),
-                                 jnp.asarray(batch["scale_factor"]))
+            if _is_two_stage(cfg):
+                from ..core.two_stage import two_stage_decode
+                tscfg = two_stage_cfg_from(cfg, cv)
+                det = two_stage_decode(
+                    model, variables, jnp.asarray(batch["image"]),
+                    jnp.asarray(batch["img_shape"]),
+                    jnp.asarray(batch["scale_factor"]),
+                    tscfg, test_cfg_from(cfg, cv))
+            else:
+                outs = fwd(variables, jnp.asarray(batch["image"]))
+                det = decode_for(cv)(outs, jnp.asarray(batch["img_shape"]),
+                                     jnp.asarray(batch["scale_factor"]))
             dts += detections_to_coco(
                 jax.tree.map(np.asarray, det), batch["img_id"], label_to_cat,
                 task=head.get("task", "bbox"), img_sizes=img_sizes)

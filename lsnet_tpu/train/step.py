@@ -44,14 +44,19 @@ def create_train_state(variables, tx) -> TrainState:
 
 def make_train_step(model, tx, loss_cfg: LossConfig, mesh=None,
                     mixed_precision: bool = True,
-                    loss_fn_impl=None) -> Callable[
+                    loss_fn_impl=None, full_loss_fn=None) -> Callable[
                         [TrainState, Dict[str, Array]],
                         Tuple[TrainState, Dict[str, Array]]]:
     """Build the jitted train step.  If ``mesh`` is given, shard the batch
     over the 'data' axis and replicate state.
 
     ``mixed_precision``: bf16 compute with f32 master params (the TPU
-    equivalent of the reference fp16 hooks — no loss scaling needed)."""
+    equivalent of the reference fp16 hooks — no loss scaling needed).
+
+    ``full_loss_fn(variables, batch) -> (total, losses)`` replaces the
+    standard forward+loss entirely (two-stage detectors apply model methods
+    mid-loss); it receives bf16-cast variables and image under mixed
+    precision."""
     from ..utils.precision import cast_floating
     compute_loss = loss_fn_impl or lsnet_loss
 
@@ -62,6 +67,10 @@ def make_train_step(model, tx, loss_cfg: LossConfig, mesh=None,
             image = batch["image"].astype(jnp.bfloat16)
         else:
             params_c, stats_c, image = params, batch_stats, batch["image"]
+        if full_loss_fn is not None:
+            return full_loss_fn(
+                {"params": params_c, "batch_stats": stats_c},
+                dict(batch, image=image))
         outs = model.apply({"params": params_c, "batch_stats": stats_c},
                            image)
         # losses/assignment in f32 for numerical fidelity
