@@ -272,3 +272,104 @@ def two_stage_decode(model, variables, images: Array, img_shapes: Array,
 
     return jax.vmap(single)(props, pvalid, cls_logits, reg, img_shapes,
                             scale_factors)
+
+
+# --------------------------------------------------------------- Mask R-CNN
+
+def rasterize_polygon_in_roi(polys: Array, rois: Array,
+                             out_size: int = 28) -> Array:
+    """GT contour polygons -> per-RoI binary mask targets, ON DEVICE.
+
+    polys (S, nv*2) xy-interleaved closed contours (the segm pipeline's
+    36-pt polygons); rois (S, 4). Returns (S, out, out) {0,1} via the
+    crossing-number (even-odd) test over the RoI-aligned grid — the
+    TPU-native stand-in for host-side mask cropping in the reference
+    mask_target.py.
+    """
+    S = polys.shape[0]
+    nv = polys.shape[1] // 2
+    px = polys[:, 0::2]                                 # (S, nv)
+    py = polys[:, 1::2]
+    w = jnp.maximum(rois[:, 2] - rois[:, 0], 1e-3)
+    h = jnp.maximum(rois[:, 3] - rois[:, 1], 1e-3)
+    ys = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) / out_size
+    gx = rois[:, 0, None] + ys[None, :] * w[:, None]    # (S, out)
+    gy = rois[:, 1, None] + ys[None, :] * h[:, None]
+    x1 = px                                             # (S, nv)
+    y1 = py
+    x2 = jnp.roll(px, -1, axis=1)
+    y2 = jnp.roll(py, -1, axis=1)
+
+    # crossing number per grid point: ray to +x
+    #   (S, out_y, out_x, nv)
+    gyb = gy[:, :, None, None]
+    gxb = gx[:, None, :, None]
+    y1b, y2b = y1[:, None, None, :], y2[:, None, None, :]
+    x1b, x2b = x1[:, None, None, :], x2[:, None, None, :]
+    cond = (y1b <= gyb) != (y2b <= gyb)
+    t = (gyb - y1b) / jnp.where(jnp.abs(y2b - y1b) < 1e-9, 1e-9, y2b - y1b)
+    xint = x1b + t * (x2b - x1b)
+    crossings = jnp.sum(cond & (xint > gxb), axis=-1)
+    return (crossings % 2 == 1).astype(jnp.float32)
+
+
+def mask_loss(mask_logits: Array, rois: Array, labels: Array, pos: Array,
+              gt_polys: Array, gt_idx: Array, cfg: TwoStageConfig):
+    """Per-positive-RoI BCE against rasterized polygon targets.
+
+    mask_logits (S, 28, 28, C); rois (S, 4); labels (S,); pos (S,) bool;
+    gt_polys (M, nv*2); gt_idx (S,) assigned gt per roi."""
+    S, oh, ow, C = mask_logits.shape
+    tgt_polys = gt_polys[jnp.maximum(gt_idx, 0)]
+    targets = rasterize_polygon_in_roi(tgt_polys, rois, oh)
+    cls_idx = jnp.clip(labels, 0, C - 1)
+    sel = jnp.take_along_axis(
+        mask_logits, cls_idx[:, None, None, None], axis=-1)[..., 0]
+    bce = (jnp.maximum(sel, 0) - sel * targets
+           + jnp.log1p(jnp.exp(-jnp.abs(sel))))
+    posf = pos.astype(jnp.float32)
+    n_pos = jnp.maximum(jnp.sum(posf), 1.0)
+    return jnp.sum(bce.mean(axis=(1, 2)) * posf) / n_pos
+
+
+def mask_rcnn_loss(model, variables, batch: Dict[str, Array],
+                   cfg: TwoStageConfig):
+    """Faster R-CNN losses + mask branch BCE (requires the segm pipeline's
+    ``gt_polygons`` in the batch)."""
+    feats = model.apply(variables, batch["image"], method="extract")
+    rpn_outs = model.apply(variables, feats, method="rpn")
+    l_rpn_cls, l_rpn_reg = rpn_loss(rpn_outs, batch, cfg)
+    props, pvalid = rpn_proposals(
+        jax.tree.map(jax.lax.stop_gradient, rpn_outs),
+        batch["img_shape"], cfg)
+
+    B = props.shape[0]
+    rois, labels, deltas, pos, valid = sample_rois(
+        props, pvalid, batch["gt_bboxes"], batch["gt_valid"],
+        batch["gt_labels"], cfg)
+    rois5 = _rois_with_batch_idx(rois)
+    cls_logits, reg = model.apply(variables, feats, rois5,
+                                  method="roi_forward")
+    l_cls, l_reg = rcnn_loss(cls_logits, reg, labels, deltas, pos, valid,
+                             cfg)
+    mask_logits = model.apply(variables, feats, rois5,
+                              method="mask_forward")
+    # per-image gt index of each sampled roi: recompute from IoU (the
+    # sampler's argmax); cheap relative to the mask branch
+    S = rois.shape[1]
+
+    def gt_of(rois_i, gts, gvalid):
+        ious = box_iou(rois_i, gts)
+        ious = jnp.where(gvalid[None, :], ious, -1.0)
+        return ious.argmax(axis=1)
+
+    gt_idx = jax.vmap(gt_of)(rois, batch["gt_bboxes"], batch["gt_valid"])
+    l_mask = mask_loss(
+        mask_logits,
+        rois.reshape(B * S, 4), labels.reshape(-1), pos.reshape(-1),
+        batch["gt_polygons"].reshape(-1, batch["gt_polygons"].shape[-1]),
+        (gt_idx + jnp.arange(B)[:, None]
+         * batch["gt_polygons"].shape[1]).reshape(-1), cfg)
+    losses = {"loss_rpn_cls": l_rpn_cls, "loss_rpn_bbox": l_rpn_reg,
+              "loss_cls": l_cls, "loss_bbox": l_reg, "loss_mask": l_mask}
+    return sum(losses.values()), losses

@@ -194,8 +194,9 @@ def build_detector(cfg: Dict[str, Any]):
     cfg.pop("pretrained", None)
     backbone = build_backbone(cfg.pop("backbone"))
     neck = build_neck(cfg.pop("neck"))
-    if kind in ("FasterRCNN", "TwoStageDetector"):
-        from .heads.two_stage import (RPNHead, Shared2FCBBoxHead,
+    if kind in ("FasterRCNN", "TwoStageDetector", "MaskRCNN"):
+        from .heads.two_stage import (FCNMaskHead, MaskRCNNDetector,
+                                      RPNHead, Shared2FCBBoxHead,
                                       TwoStageDetector)
         rpn_cfg = dict(cfg.pop("rpn_head", {}))
         rpn_cfg.pop("type", None)
@@ -216,8 +217,18 @@ def build_detector(cfg: Dict[str, Any]):
             num_classes=num_classes,
             fc_channels=bh.get("fc_out_channels", 1024),
             reg_class_agnostic=bh.get("reg_class_agnostic", False))
-        det = TwoStageDetector(backbone=backbone, neck=neck, rpn_head=rpn,
-                               bbox_head=bbox_head)
+        if kind == "MaskRCNN":
+            mh = dict(roi_cfg.get("mask_head", {}))
+            mask_head = FCNMaskHead(
+                num_classes=num_classes,
+                conv_channels=mh.get("conv_out_channels", 256),
+                num_convs=mh.get("num_convs", 4))
+            det = MaskRCNNDetector(backbone=backbone, neck=neck,
+                                   rpn_head=rpn, bbox_head=bbox_head,
+                                   mask_head=mask_head)
+        else:
+            det = TwoStageDetector(backbone=backbone, neck=neck,
+                                   rpn_head=rpn, bbox_head=bbox_head)
         return det, {"num_classes": num_classes}
     head, loss_cfgs = build_head(cfg.pop("bbox_head"))
     if kind in ("LSDetector", "LSCPVDetector", "RetinaNet", "FCOS",

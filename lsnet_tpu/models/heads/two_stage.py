@@ -136,3 +136,45 @@ class TwoStageDetector(nn.Module):
             dummy = jnp.zeros((1, 5), images.dtype)
             outs["roi"] = self.roi_forward(feats, dummy)
         return outs
+
+
+class FCNMaskHead(nn.Module):
+    """Mask R-CNN mask branch (reference
+    `roi_heads/mask_heads/fcn_mask_head.py`): 4x conv3x3 -> 2x deconv ->
+    per-class 1x1. 14x14 RoI feats -> (N, 28, 28, num_classes) logits."""
+    num_classes: int
+    conv_channels: int = 256
+    num_convs: int = 4
+
+    @nn.compact
+    def __call__(self, roi_feats: Array) -> Array:
+        x = roi_feats
+        for i in range(self.num_convs):
+            x = nn.relu(nn.Conv(self.conv_channels, (3, 3),
+                                padding=[(1, 1), (1, 1)],
+                                kernel_init=nn.initializers.normal(0.01),
+                                name=f"mask_conv{i}")(x))
+        x = nn.relu(nn.ConvTranspose(self.conv_channels, (2, 2),
+                                     strides=(2, 2),
+                                     name="mask_upsample")(x))
+        return nn.Conv(self.num_classes, (1, 1),
+                       kernel_init=nn.initializers.normal(0.001),
+                       name="mask_logits")(x)
+
+
+class MaskRCNNDetector(TwoStageDetector):
+    """Faster R-CNN + FCN mask branch (reference `detectors/mask_rcnn.py`)."""
+    mask_head: nn.Module = None
+
+    def mask_forward(self, feats: Sequence[Array], rois: Array) -> Array:
+        roi_feats = multilevel_roi_align(list(feats), rois, self.strides,
+                                         out_size=(14, 14))
+        return self.mask_head(roi_feats)
+
+    def __call__(self, images: Array, rois: Array = None):
+        outs = super().__call__(images, rois)
+        feats = self.extract(images)
+        dummy = (rois if rois is not None
+                 else jnp.zeros((1, 5), images.dtype))
+        outs["mask"] = self.mask_forward(feats, dummy)
+        return outs

@@ -85,7 +85,7 @@ def two_stage_cfg_from(cfg, image_shape):
 
 
 def _is_two_stage(cfg) -> bool:
-    return cfg.model.type in ("FasterRCNN", "TwoStageDetector")
+    return cfg.model.type in ("FasterRCNN", "TwoStageDetector", "MaskRCNN")
 
 
 def make_loss_for(cfg, image_shape):
@@ -159,6 +159,8 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
         "bbox_head", cfg.model.get("roi_head", {}).get("bbox_head", {}))
     task = {"bbox": "bbox", "segm": "segm",
             "pose_bbox": "pose", "pose_kbox": "pose"}[head.get("task", "bbox")]
+    if cfg.model.type == "MaskRCNN":
+        task = "segm"   # the pipeline must carry gt_polygons for mask loss
     data_cfg = cfg.data
     raw_scale = data_cfg.train.get("img_scale", (1333, 800))
     img_scale = (tuple(tuple(s) for s in raw_scale)
@@ -229,11 +231,14 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
     def step_for(canvas_hw: Tuple[int, int]):
         if canvas_hw not in step_fns:
             if _is_two_stage(cfg):
-                from ..core.two_stage import two_stage_loss
+                from ..core.two_stage import mask_rcnn_loss, two_stage_loss
                 tscfg = two_stage_cfg_from(cfg, canvas_hw)
+                ts_loss = (mask_rcnn_loss
+                           if cfg.model.type == "MaskRCNN"
+                           else two_stage_loss)
                 step_fns[canvas_hw] = make_train_step(
                     model, tx, None, mesh=mesh,
-                    full_loss_fn=lambda variables, batch: two_stage_loss(
+                    full_loss_fn=lambda variables, batch: ts_loss(
                         model, variables, batch, tscfg))
             else:
                 loss_fn = make_loss_for(cfg, canvas_hw)
