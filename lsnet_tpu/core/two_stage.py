@@ -373,3 +373,30 @@ def mask_rcnn_loss(model, variables, batch: Dict[str, Array],
     losses = {"loss_rpn_cls": l_rpn_cls, "loss_rpn_bbox": l_rpn_reg,
               "loss_cls": l_cls, "loss_bbox": l_reg, "loss_mask": l_mask}
     return sum(losses.values()), losses
+
+
+def mask_rcnn_decode(model, variables, images: Array, img_shapes: Array,
+                     scale_factors: Array, cfg: TwoStageConfig,
+                     tcfg: TestConfig, rescale: bool = True):
+    """simple_test with masks: box decode + per-detection 28x28 mask
+    probabilities (reference mask_rcnn simple_test -> FCNMaskHead
+    get_seg_masks; pasting to full resolution is host-side, see
+    evalkit.evaluator.paste_mask)."""
+    det = two_stage_decode(model, variables, images, img_shapes,
+                           scale_factors, cfg, tcfg, rescale=rescale)
+    feats = model.apply(variables, images, method="extract")
+    # mask branch on the FINAL detection boxes (image coords; un-rescale
+    # back to network coords for RoIAlign if decode rescaled)
+    boxes = det.bboxes
+    if rescale:
+        boxes = boxes * scale_factors[:, None, :]
+    rois = _rois_with_batch_idx(boxes)
+    mask_logits = model.apply(variables, feats, rois, method="mask_forward")
+    B, K = det.bboxes.shape[:2]
+    oh, ow = mask_logits.shape[1:3]
+    cls_idx = jnp.clip(det.labels.reshape(-1), 0,
+                       mask_logits.shape[-1] - 1)
+    sel = jnp.take_along_axis(mask_logits,
+                              cls_idx[:, None, None, None], axis=-1)[..., 0]
+    masks = jax.nn.sigmoid(sel.astype(jnp.float32)).reshape(B, K, oh, ow)
+    return det, masks

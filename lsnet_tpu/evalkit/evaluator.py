@@ -112,3 +112,64 @@ def evaluate_coco(gts: List[Dict], dts: List[Dict],
         names = ["mAP", "mAP_50", "mAP_75", "mAP_s", "mAP_m", "mAP_l",
                  "AR@1", "AR@10", "AR@100", "AR_s", "AR_m", "AR_l"]
     return {f"{iou_type}_{n}": float(v) for n, v in zip(names, stats)}
+
+
+def paste_mask(mask28: "np.ndarray", bbox: "np.ndarray",
+               img_hw, thr: float = 0.5) -> "np.ndarray":
+    """Paste a (28, 28) mask probability crop into the full image frame
+    (reference FCNMaskHead.get_seg_masks bilinear paste)."""
+    import numpy as np
+    H, W = img_hw
+    x1, y1, x2, y2 = bbox
+    w = max(int(round(x2 - x1)), 1)
+    h = max(int(round(y2 - y1)), 1)
+    oh, ow = mask28.shape
+    ys = (np.arange(h) + 0.5) * oh / h - 0.5
+    xs = (np.arange(w) + 0.5) * ow / w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, oh - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, ow - 1)
+    y1i = np.clip(y0 + 1, 0, oh - 1)
+    x1i = np.clip(x0 + 1, 0, ow - 1)
+    wy = np.clip(ys - y0, 0, 1)[:, None]
+    wx = np.clip(xs - x0, 0, 1)[None, :]
+    m = (mask28[y0][:, x0] * (1 - wy) * (1 - wx)
+         + mask28[y0][:, x1i] * (1 - wy) * wx
+         + mask28[y1i][:, x0] * wy * (1 - wx)
+         + mask28[y1i][:, x1i] * wy * wx)
+    out = np.zeros((H, W), np.uint8)
+    ox, oy = int(round(x1)), int(round(y1))
+    sx1, sy1 = max(-ox, 0), max(-oy, 0)
+    dx1, dy1 = max(ox, 0), max(oy, 0)
+    dx2 = min(ox + w, W)
+    dy2 = min(oy + h, H)
+    if dx2 > dx1 and dy2 > dy1:
+        out[dy1:dy2, dx1:dx2] = (
+            m[sy1:sy1 + dy2 - dy1, sx1:sx1 + dx2 - dx1] >= thr)
+    return out
+
+
+def mask_detections_to_coco(det, masks, img_ids, label_to_cat, img_sizes):
+    """Mask R-CNN results -> COCO segm dts (RLE via our codec)."""
+    import numpy as np
+
+    from .rle import encode_mask, rle_to_string
+    dts = []
+    B = det.bboxes.shape[0]
+    for b in range(B):
+        img_id = int(img_ids[b])
+        H, W = img_sizes[img_id]
+        for k in range(det.bboxes.shape[1]):
+            if not det.valid[b, k]:
+                continue
+            full = paste_mask(np.asarray(masks[b, k]),
+                              np.asarray(det.bboxes[b, k]), (H, W))
+            r = encode_mask(full)
+            x1, y1, x2, y2 = np.asarray(det.bboxes[b, k], np.float64)
+            dts.append(dict(
+                image_id=img_id,
+                category_id=label_to_cat[int(det.labels[b, k])],
+                bbox=[x1, y1, x2 - x1, y2 - y1],
+                score=float(det.scores[b, k]),
+                segmentation=dict(size=[int(H), int(W)],
+                                  counts=rle_to_string(r))))
+    return dts

@@ -275,3 +275,40 @@ def test_mask_rcnn_config_builds():
     cfg = Config.fromfile("configs/mask_rcnn/mask_rcnn_r50_fpn_1x_coco.py")
     model, _ = build_detector(cfg.model.to_dict())
     assert model.mask_head is not None
+
+
+def test_mask_rcnn_decode_and_paste():
+    from lsnet_tpu.core.decode import TestConfig
+    from lsnet_tpu.core.two_stage import mask_rcnn_decode
+    from lsnet_tpu.evalkit.evaluator import paste_mask
+    from lsnet_tpu.models import build_detector
+
+    cfg_d = dict(
+        type="MaskRCNN",
+        backbone=dict(type="ResNet", depth=18, num_stages=4,
+                      out_indices=(0, 1, 2, 3), base_channels=16),
+        neck=dict(type="FPN", out_channels=32, start_level=0, num_outs=5),
+        rpn_head=dict(type="RPNHead", in_channels=32, feat_channels=32,
+                      anchor_generator=dict(scales=[8],
+                                            ratios=[0.5, 1.0, 2.0])),
+        roi_head=dict(bbox_head=dict(num_classes=4, fc_out_channels=64),
+                      mask_head=dict(conv_out_channels=32, num_convs=2)))
+    model, _ = build_detector(cfg_d)
+    batch = _batch()
+    variables = model.init(jax.random.PRNGKey(0), batch["image"])
+    tcfg = TestConfig(image_shape=IMG, num_classes=4, nms_pre=100,
+                      score_thr=0.0, nms_iou=0.5, max_per_img=5)
+    det, masks = mask_rcnn_decode(model, variables, batch["image"],
+                                  batch["img_shape"],
+                                  jnp.ones((2, 4), jnp.float32), _cfg(),
+                                  tcfg)
+    assert masks.shape == (2, 5, 28, 28)
+    m = np.asarray(masks)
+    assert ((m >= 0) & (m <= 1)).all()
+
+    # paste: an all-ones crop fills exactly the (rounded) box
+    full = paste_mask(np.ones((28, 28), np.float32),
+                      np.array([10.0, 12.0, 30.0, 40.0]), (64, 64))
+    assert full.dtype == np.uint8
+    assert full[13:39, 11:29].all()
+    assert full[:12].sum() == 0
