@@ -400,3 +400,124 @@ def mask_rcnn_decode(model, variables, images: Array, img_shapes: Array,
                               cls_idx[:, None, None, None], axis=-1)[..., 0]
     masks = jax.nn.sigmoid(sel.astype(jnp.float32)).reshape(B, K, oh, ow)
     return det, masks
+
+
+# ------------------------------------------------------------ Cascade R-CNN
+
+CASCADE_IOUS = (0.5, 0.6, 0.7)
+CASCADE_WEIGHTS = (1.0, 0.5, 0.25)
+CASCADE_STDS = ((0.1, 0.1, 0.2, 0.2), (0.05, 0.05, 0.1, 0.1),
+                (0.033, 0.033, 0.067, 0.067))
+
+
+def cascade_rcnn_loss(model, variables, batch: Dict[str, Array],
+                      cfg: TwoStageConfig):
+    """3-stage cascade training: each stage re-assigns at a higher IoU on
+    the previous stage's refined boxes (reference CascadeRoIHead.forward_
+    train flow; class-agnostic deltas)."""
+    feats = model.apply(variables, batch["image"], method="extract")
+    rpn_outs = model.apply(variables, feats, method="rpn")
+    l_rpn_cls, l_rpn_reg = rpn_loss(rpn_outs, batch, cfg)
+    props, pvalid = rpn_proposals(
+        jax.tree.map(jax.lax.stop_gradient, rpn_outs),
+        batch["img_shape"], cfg)
+    losses = {"loss_rpn_cls": l_rpn_cls, "loss_rpn_bbox": l_rpn_reg}
+    total = l_rpn_cls + l_rpn_reg
+    B = props.shape[0]
+    S = cfg.rcnn_num_samples
+    for st in range(3):
+        scfg = TwoStageConfig(
+            **{**cfg.__dict__, "rcnn_pos_iou": CASCADE_IOUS[st],
+               "rcnn_stds": CASCADE_STDS[st]})
+        rois, labels, deltas, pos, valid = sample_rois(
+            props, pvalid, batch["gt_bboxes"], batch["gt_valid"],
+            batch["gt_labels"], scfg)
+        cls_logits, reg = model.apply(
+            variables, feats, _rois_with_batch_idx(rois), stage=st,
+            method="roi_forward_stage")
+        # class-agnostic: reg is (BS, 4) — reuse rcnn_loss with C=1 view
+        l_cls, l_reg = _cascade_stage_loss(cls_logits, reg, labels, deltas,
+                                           pos, valid, cfg.num_classes)
+        w = CASCADE_WEIGHTS[st]
+        losses[f"s{st}.loss_cls"] = l_cls * w
+        losses[f"s{st}.loss_bbox"] = l_reg * w
+        total = total + (l_cls + l_reg) * w
+        # refine proposals for the next stage with this stage's boxes
+        refined = delta2bbox(
+            rois.reshape(B * S, 4),
+            jax.lax.stop_gradient(reg).astype(jnp.float32),
+            stds=CASCADE_STDS[st],
+            max_shape=(cfg.image_shape[0], cfg.image_shape[1]))
+        props = refined.reshape(B, S, 4)
+        pvalid = valid
+    return total, losses
+
+
+def _cascade_stage_loss(cls_logits: Array, reg: Array, labels: Array,
+                        deltas: Array, pos: Array, valid: Array,
+                        num_classes: int):
+    BS = cls_logits.shape[0]
+    labels_f = labels.reshape(-1)
+    valid_f = valid.reshape(-1).astype(jnp.float32)
+    pos_f = pos.reshape(-1).astype(jnp.float32)
+    logp = jax.nn.log_softmax(cls_logits.astype(jnp.float32), axis=-1)
+    ce = -jnp.take_along_axis(logp, labels_f[:, None], axis=-1)[:, 0]
+    loss_cls = jnp.sum(ce * valid_f) / jnp.maximum(jnp.sum(valid_f), 1.0)
+    diff = jnp.abs(reg.astype(jnp.float32) - deltas.reshape(BS, 4))
+    sl1 = jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5).sum(-1)
+    loss_reg = jnp.sum(sl1 * pos_f) / jnp.maximum(jnp.sum(pos_f), 1.0)
+    return loss_cls, loss_reg
+
+
+def cascade_rcnn_decode(model, variables, images: Array, img_shapes: Array,
+                        scale_factors: Array, cfg: TwoStageConfig,
+                        tcfg: TestConfig, rescale: bool = True) -> Detections:
+    """Cascade inference: refine boxes through the 3 stages, average the
+    per-stage class scores on the final boxes (reference
+    CascadeRoIHead.simple_test)."""
+    feats = model.apply(variables, images, method="extract")
+    rpn_outs = model.apply(variables, feats, method="rpn")
+    props, pvalid = rpn_proposals(rpn_outs, img_shapes, cfg)
+    B, P, _ = props.shape
+    C = cfg.num_classes
+    scores_sum = 0.0
+    for st in range(3):
+        cls_logits, reg = model.apply(
+            variables, feats, _rois_with_batch_idx(props), stage=st,
+            method="roi_forward_stage")
+        scores_sum = scores_sum + jax.nn.softmax(
+            cls_logits.astype(jnp.float32), -1)
+        refined = delta2bbox(props.reshape(B * P, 4),
+                             reg.astype(jnp.float32),
+                             stds=CASCADE_STDS[st])
+        props = refined.reshape(B, P, 4)
+    # final-stage scores are re-evaluated on the final boxes by mmdet; the
+    # running average over stages is the standard ensemble
+    probs = (scores_sum / 3.0).reshape(B, P, C + 1)[..., :C]
+    probs = probs * pvalid[..., None].astype(probs.dtype)
+
+    def single(props_i, probs_i, img_shape, sf):
+        x1 = jnp.clip(props_i[:, 0], 0, img_shape[1])
+        y1 = jnp.clip(props_i[:, 1], 0, img_shape[0])
+        x2 = jnp.clip(props_i[:, 2], 0, img_shape[1])
+        y2 = jnp.clip(props_i[:, 3], 0, img_shape[0])
+        boxes = jnp.stack([x1, y1, x2, y2], -1)
+        if rescale:
+            boxes = boxes / sf[None, :]
+        flat_scores = probs_i.reshape(P * C)
+        flat_labels = jnp.tile(jnp.arange(C, dtype=jnp.int32), (P,))
+        flat_boxes = jnp.repeat(boxes, C, axis=0)
+        cand = jnp.where(flat_scores > tcfg.score_thr, flat_scores, NEG_INF)
+        k = min(tcfg.nms_pre, P * C)
+        top_s, top_i = jax.lax.top_k(cand, k)
+        keep_idx, keep_s, keep_v = batched_nms(
+            flat_boxes[top_i], top_s, flat_labels[top_i], tcfg.nms_iou,
+            tcfg.max_per_img)
+        z = keep_v[:, None].astype(boxes.dtype)
+        return Detections(flat_boxes[top_i][keep_idx] * z,
+                          jnp.where(keep_v, keep_s, 0.0),
+                          flat_labels[top_i][keep_idx] * keep_v,
+                          jnp.zeros((tcfg.max_per_img, 8), boxes.dtype),
+                          keep_v)
+
+    return jax.vmap(single)(props, probs, img_shapes, scale_factors)

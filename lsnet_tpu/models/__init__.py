@@ -194,10 +194,11 @@ def build_detector(cfg: Dict[str, Any]):
     cfg.pop("pretrained", None)
     backbone = build_backbone(cfg.pop("backbone"))
     neck = build_neck(cfg.pop("neck"))
-    if kind in ("FasterRCNN", "TwoStageDetector", "MaskRCNN"):
-        from .heads.two_stage import (FCNMaskHead, MaskRCNNDetector,
-                                      RPNHead, Shared2FCBBoxHead,
-                                      TwoStageDetector)
+    if kind in ("FasterRCNN", "TwoStageDetector", "MaskRCNN",
+                "CascadeRCNN"):
+        from .heads.two_stage import (CascadeRCNNDetector, FCNMaskHead,
+                                      MaskRCNNDetector, RPNHead,
+                                      Shared2FCBBoxHead, TwoStageDetector)
         rpn_cfg = dict(cfg.pop("rpn_head", {}))
         rpn_cfg.pop("type", None)
         anchor_gen = rpn_cfg.pop("anchor_generator", {})
@@ -217,7 +218,15 @@ def build_detector(cfg: Dict[str, Any]):
             num_classes=num_classes,
             fc_channels=bh.get("fc_out_channels", 1024),
             reg_class_agnostic=bh.get("reg_class_agnostic", False))
-        if kind == "MaskRCNN":
+        if kind == "CascadeRCNN":
+            mk = lambda: Shared2FCBBoxHead(             # noqa: E731
+                num_classes=num_classes,
+                fc_channels=bh.get("fc_out_channels", 1024),
+                reg_class_agnostic=True)
+            det = CascadeRCNNDetector(
+                backbone=backbone, neck=neck, rpn_head=rpn,
+                bbox_head=mk(), bbox_head2=mk(), bbox_head3=mk())
+        elif kind == "MaskRCNN":
             mh = dict(roi_cfg.get("mask_head", {}))
             mask_head = FCNMaskHead(
                 num_classes=num_classes,

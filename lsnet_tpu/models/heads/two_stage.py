@@ -178,3 +178,27 @@ class MaskRCNNDetector(TwoStageDetector):
                  else jnp.zeros((1, 5), images.dtype))
         outs["mask"] = self.mask_forward(feats, dummy)
         return outs
+
+
+class CascadeRCNNDetector(TwoStageDetector):
+    """Cascade R-CNN (reference `detectors/cascade_rcnn.py` +
+    `roi_heads/cascade_roi_head.py`): three bbox heads refining the boxes
+    at increasing IoU thresholds; class-agnostic regression."""
+    bbox_head2: nn.Module = None
+    bbox_head3: nn.Module = None
+
+    def roi_forward_stage(self, feats: Sequence[Array], rois: Array,
+                          stage: int) -> Tuple[Array, Array]:
+        roi_feats = multilevel_roi_align(list(feats), rois, self.strides)
+        head = (self.bbox_head, self.bbox_head2,
+                self.bbox_head3)[stage]
+        return head(roi_feats)
+
+    def __call__(self, images: Array, rois: Array = None):
+        feats = self.extract(images)
+        outs = self.rpn(feats)
+        dummy = (rois if rois is not None
+                 else jnp.zeros((1, 5), images.dtype))
+        for st in range(3):
+            outs[f"roi{st}"] = self.roi_forward_stage(feats, dummy, st)
+        return outs

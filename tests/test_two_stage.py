@@ -312,3 +312,47 @@ def test_mask_rcnn_decode_and_paste():
     assert full.dtype == np.uint8
     assert full[13:39, 11:29].all()
     assert full[:12].sum() == 0
+
+
+def test_cascade_rcnn_loss_and_decode():
+    from lsnet_tpu.core.decode import TestConfig
+    from lsnet_tpu.core.two_stage import (cascade_rcnn_decode,
+                                          cascade_rcnn_loss)
+    from lsnet_tpu.models import build_detector
+
+    cfg_d = dict(
+        type="CascadeRCNN",
+        backbone=dict(type="ResNet", depth=18, num_stages=4,
+                      out_indices=(0, 1, 2, 3), base_channels=16),
+        neck=dict(type="FPN", out_channels=32, start_level=0, num_outs=5),
+        rpn_head=dict(type="RPNHead", in_channels=32, feat_channels=32,
+                      anchor_generator=dict(scales=[8],
+                                            ratios=[0.5, 1.0, 2.0])),
+        roi_head=dict(bbox_head=dict(num_classes=4, fc_out_channels=64)))
+    model, _ = build_detector(cfg_d)
+    batch = _batch()
+    variables = model.init(jax.random.PRNGKey(0), batch["image"])
+    # three separate stage heads exist
+    assert {"bbox_head", "bbox_head2", "bbox_head3"} <= \
+        set(variables["params"].keys())
+    total, losses = cascade_rcnn_loss(model, variables, batch, _cfg())
+    assert {"s0.loss_cls", "s1.loss_cls", "s2.loss_cls"} <= set(losses)
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), k
+
+    g = jax.grad(lambda p: cascade_rcnn_loss(
+        model, {"params": p,
+                "batch_stats": variables.get("batch_stats", {})},
+        batch, _cfg())[0])(variables["params"])
+    for h in ("bbox_head", "bbox_head2", "bbox_head3"):
+        assert float(jnp.linalg.norm(
+            g[h]["shared_fc0"]["kernel"])) > 0, h
+
+    tcfg = TestConfig(image_shape=IMG, num_classes=4, nms_pre=100,
+                      score_thr=0.0, nms_iou=0.5, max_per_img=10)
+    det = cascade_rcnn_decode(model, variables, batch["image"],
+                              batch["img_shape"],
+                              jnp.ones((2, 4), jnp.float32), _cfg(), tcfg)
+    assert det.bboxes.shape == (2, 10, 4)
+    assert np.isfinite(np.asarray(det.bboxes)).all()
+    assert np.asarray(det.valid).any()
