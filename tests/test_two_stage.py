@@ -82,6 +82,7 @@ def test_rpn_proposals_and_sampling(built):
     assert np.isfinite(np.asarray(deltas)).all()
 
 
+@pytest.mark.slow
 def test_two_stage_loss_and_grad(built):
     from lsnet_tpu.core.two_stage import two_stage_loss
 
@@ -110,6 +111,7 @@ def test_two_stage_loss_and_grad(built):
         g["bbox_head"]["shared_fc0"]["kernel"])) > 0
 
 
+@pytest.mark.slow
 def test_two_stage_decode(built):
     from lsnet_tpu.core.decode import TestConfig
     from lsnet_tpu.core.two_stage import two_stage_decode
@@ -236,6 +238,7 @@ def test_polygon_rasterizer_matches_numpy_oracle():
     assert agree > 0.98, agree      # boundary pixels may differ
 
 
+@pytest.mark.slow
 def test_mask_rcnn_loss_and_forward():
     from lsnet_tpu.core.two_stage import mask_rcnn_loss
     from lsnet_tpu.models import build_detector
@@ -277,6 +280,7 @@ def test_mask_rcnn_config_builds():
     assert model.mask_head is not None
 
 
+@pytest.mark.slow
 def test_mask_rcnn_decode_and_paste():
     from lsnet_tpu.core.decode import TestConfig
     from lsnet_tpu.core.two_stage import mask_rcnn_decode
@@ -314,6 +318,7 @@ def test_mask_rcnn_decode_and_paste():
     assert full[:12].sum() == 0
 
 
+@pytest.mark.slow
 def test_cascade_rcnn_loss_and_decode():
     from lsnet_tpu.core.decode import TestConfig
     from lsnet_tpu.core.two_stage import (cascade_rcnn_decode,
