@@ -98,3 +98,21 @@ def collect_results(local_results: list) -> list:
     for i in range(jax.process_count()):
         out.extend(pickle.loads(gathered[i, : int(sizes[i, 0])].tobytes()))
     return out
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the image HEIGHT axis over the 'model' mesh axis (batch over
+    'data'): intra-image spatial partitioning for very large inputs — the
+    TPU analogue of the reference's resolution scale axis (SURVEY §5
+    'long-context'). XLA GSPMD inserts the conv halo exchanges
+    automatically; no user communication code."""
+    return NamedSharding(mesh, PS("data", "model"))
+
+
+def run_spatially_sharded(fn, mesh: Mesh, images, *args):
+    """jit ``fn`` with the batch sharded over 'data' AND the image height
+    sharded over 'model'. Returns outputs with compiler-chosen shardings."""
+    import jax
+
+    sharded = jax.device_put(images, spatial_sharding(mesh))
+    return jax.jit(fn)(sharded, *args)
