@@ -88,9 +88,14 @@ def init_detector(config: Union[str, Config],
                                    create_train_state(variables, tx))
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
-    if cfg.model.type in ("FasterRCNN", "TwoStageDetector"):
-        from .core.two_stage import two_stage_decode
+    if cfg.model.type in ("FasterRCNN", "TwoStageDetector", "MaskRCNN",
+                          "CascadeRCNN"):
+        from .core.two_stage import (cascade_rcnn_decode, mask_rcnn_decode,
+                                     two_stage_decode)
         from .train.loop import two_stage_cfg_from
+        ts_decode = {"MaskRCNN": mask_rcnn_decode,
+                     "CascadeRCNN": cascade_rcnn_decode}.get(
+                         cfg.model.type, two_stage_decode)
 
         bundle = DetectorBundle(model, variables, cfg, canvas, None, None)
 
@@ -102,7 +107,7 @@ def init_detector(config: Union[str, Config],
                 tscfg = two_stage_cfg_from(cfg, canvas_hw)
                 tcfg = test_cfg_from(cfg, canvas_hw)
                 bundle._fwd_cache[canvas_hw] = jax.jit(
-                    lambda v, im, sh, sf: two_stage_decode(
+                    lambda v, im, sh, sf: ts_decode(
                         model, v, im, sh, sf, tscfg, tcfg))
             return bundle._fwd_cache[canvas_hw]
 
@@ -110,16 +115,20 @@ def init_detector(config: Union[str, Config],
         bundle.fwd = fwd_for(canvas)
         return bundle
     head_type = cfg.model.bbox_head.type
-    if head_type in ("RetinaHead", "FCOSHead", "ATSSHead", "GFLHead"):
+    from .train.loop import (DENSE_HEAD_KINDS, dense_cfg_from,
+                             reppoints_cfg_from)
+    if head_type in DENSE_HEAD_KINDS:
         from .core.dense_decode import dense_decode
-        from .core.dense_loss import DenseLossConfig
-        kind = {"RetinaHead": "retina", "FCOSHead": "fcos",
-                "ATSSHead": "atss", "GFLHead": "gfl"}[head_type]
 
         def decode_fn(outs, shapes, sfs, tcfg):
-            dcfg = DenseLossConfig(image_shape=tcfg.image_shape,
-                                   num_classes=tcfg.num_classes, head=kind)
+            dcfg = dense_cfg_from(cfg, tcfg.image_shape)
             return dense_decode(outs, shapes, sfs, tcfg, dcfg)
+    elif head_type == "RepPointsHead":
+        from .core.reppoints import reppoints_decode
+
+        def decode_fn(outs, shapes, sfs, tcfg):
+            rcfg = reppoints_cfg_from(cfg, tcfg.image_shape)
+            return reppoints_decode(outs, shapes, sfs, tcfg, rcfg)
     elif cfg.model.type == "LSCPVDetector":
         decode_fn = lscpv_decode
     else:
@@ -149,14 +158,20 @@ def inference_detector(bundle: DetectorBundle,
                                  jnp.asarray(canvas_img[None]),
                                  jnp.asarray([[nh, nw]], jnp.int32),
                                  jnp.asarray(sf[None]))
+    masks = None
+    if not isinstance(det, Detections) and isinstance(det, tuple):
+        det, masks = det                 # Mask R-CNN: (Detections, masks)
     det = jax.tree.map(np.asarray, det)
     valid = det.valid[0]
-    return {
+    out = {
         "bboxes": det.bboxes[0][valid],
         "scores": det.scores[0][valid],
         "labels": det.labels[0][valid],
         "landmarks": det.landmarks[0][valid],
     }
+    if masks is not None:
+        out["masks"] = np.asarray(masks)[0][valid]
+    return out
 
 
 def aug_test_simple(bundle: DetectorBundle, img: Union[str, np.ndarray],

@@ -172,8 +172,10 @@ def rpn_loss(rpn_outs: Dict[str, Sequence[Array]], batch: Dict[str, Array],
         loss_cls = jnp.sum(
             _bce_logits(score_i, posf) * wc) / n_samp
         d = bbox2delta(anchors, tgt)
-        loss_reg = jnp.sum(jnp.abs(delta_i - d).sum(-1) * posf) \
-            / jnp.maximum(n_pos, 1.0)
+        # reference avg_factor = num_total_samples (all 256 sampled
+        # anchors, `anchor_head.py` loss with sampling=True) — NOT num_pos;
+        # the shipped LR (0.02) is tuned to that normalization
+        loss_reg = jnp.sum(jnp.abs(delta_i - d).sum(-1) * posf) / n_samp
         return loss_cls, loss_reg
 
     lc, lr = jax.vmap(single)(scores, deltas, batch["gt_bboxes"],
@@ -203,8 +205,9 @@ def rcnn_loss(cls_logits: Array, reg: Array, labels: Array, deltas: Array,
                                   axis=1)[:, 0]
     diff = jnp.abs(reg_sel - deltas.reshape(BS, 4))
     sl1 = jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5).sum(-1)
-    n_pos = jnp.maximum(jnp.sum(pos_f), 1.0)
-    loss_reg = jnp.sum(sl1 * pos_f) / n_pos
+    # reference avg_factor = bbox_targets.size(0) — all 512 sampled rois
+    # (`bbox_head.py` loss), not just positives
+    loss_reg = jnp.sum(sl1 * pos_f) / n_valid
     return loss_cls, loss_reg
 
 
@@ -465,7 +468,8 @@ def _cascade_stage_loss(cls_logits: Array, reg: Array, labels: Array,
     loss_cls = jnp.sum(ce * valid_f) / jnp.maximum(jnp.sum(valid_f), 1.0)
     diff = jnp.abs(reg.astype(jnp.float32) - deltas.reshape(BS, 4))
     sl1 = jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5).sum(-1)
-    loss_reg = jnp.sum(sl1 * pos_f) / jnp.maximum(jnp.sum(pos_f), 1.0)
+    # avg_factor = all sampled rois (see rcnn_loss)
+    loss_reg = jnp.sum(sl1 * pos_f) / jnp.maximum(jnp.sum(valid_f), 1.0)
     return loss_cls, loss_reg
 
 

@@ -22,6 +22,7 @@ from .necks.fpn import FPN  # noqa: E402
 from .heads.ls_head import LSHead  # noqa: E402
 from .heads.lscpv_head import LSCPVHead  # noqa: E402
 from .heads.dense import ATSSHead, FCOSHead, GFLHead, RetinaHead  # noqa: E402
+from .heads.reppoints import RepPointsHead  # noqa: E402
 from .detectors.lsnet import LSDetector  # noqa: E402
 
 # string-typed assembly (the builders below add the config-key translation
@@ -35,6 +36,7 @@ HEADS.register_module(module=RetinaHead)
 HEADS.register_module(module=FCOSHead)
 HEADS.register_module(module=ATSSHead)
 HEADS.register_module(module=GFLHead)
+HEADS.register_module(module=RepPointsHead)
 DETECTORS.register_module(module=LSDetector)
 
 
@@ -164,6 +166,13 @@ def build_head(cfg: Dict[str, Any]):
         if "num_points" in cfg:
             cfg["num_kernel_points"] = cfg.pop("num_points")
         return LSCPVHead(**cfg), loss_cfgs
+    if kind == "RepPointsHead":
+        for k in ("use_grid_points", "center_init", "train_cfg",
+                  "test_cfg"):
+            cfg.pop(k, None)
+        if "point_strides" in cfg:
+            cfg["point_strides"] = tuple(cfg["point_strides"])
+        return RepPointsHead(**cfg), loss_cfgs
     if kind in ("RetinaHead", "FCOSHead", "ATSSHead", "GFLHead"):
         # assigner/coder/anchor settings live in the loss config, not the
         # flax module (mmdet folds them into the head; we keep the split)
@@ -241,7 +250,7 @@ def build_detector(cfg: Dict[str, Any]):
         return det, {"num_classes": num_classes}
     head, loss_cfgs = build_head(cfg.pop("bbox_head"))
     if kind in ("LSDetector", "LSCPVDetector", "RetinaNet", "FCOS",
-                "ATSS", "GFL", "SingleStageDetector"):
+                "ATSS", "GFL", "RepPointsDetector", "SingleStageDetector"):
         # all single-stage: backbone -> neck -> head assembly
         return LSDetector(backbone=backbone, neck=neck, head=head), loss_cfgs
     det_cls = DETECTORS.get(kind)

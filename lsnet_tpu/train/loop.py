@@ -85,28 +85,35 @@ def two_stage_cfg_from(cfg, image_shape):
 
 
 def _is_two_stage(cfg) -> bool:
-    return cfg.model.type in ("FasterRCNN", "TwoStageDetector", "MaskRCNN")
+    return cfg.model.type in ("FasterRCNN", "TwoStageDetector", "MaskRCNN",
+                              "CascadeRCNN")
 
 
-def make_loss_for(cfg, image_shape):
-    """(loss_fn, loss_cfg) dispatch over the head family: LSHead ->
-    lsnet_loss, LSCPVHead -> lscpv_loss, Retina/FCOS/ATSS -> dense_loss."""
-    head_type = cfg.model.bbox_head.type
-    if head_type == "LSHead":
-        from ..core.loss import lsnet_loss
-        lcfg = loss_cfg_from(cfg, image_shape)
-        return lambda outs, batch: lsnet_loss(outs, batch, lcfg)
-    if head_type == "LSCPVHead":
-        from ..core.cpv import CPVLossConfig, lscpv_loss
-        ccfg = CPVLossConfig(base=loss_cfg_from(cfg, image_shape))
-        return lambda outs, batch: lscpv_loss(outs, batch, ccfg)
-    from ..core.dense_loss import DenseLossConfig, dense_loss
+def _head_num_vectors(cfg, head) -> int:
+    """num_vectors for the data pipeline. Mask R-CNN has no LSHead-style
+    num_vectors key; its mask targets are rasterized from gt_polygons, so
+    the pipeline must carry full-resolution contours (reference mask
+    targets crop real masks, `mask_target.py`) — 36 points, matching the
+    segm pipeline, not the 4-vertex bbox default."""
+    return head.get("num_vectors",
+                    36 if cfg.model.type == "MaskRCNN" else 4)
+
+
+DENSE_HEAD_KINDS = {"RetinaHead": "retina", "FCOSHead": "fcos",
+                    "ATSSHead": "atss", "GFLHead": "gfl"}
+
+
+def dense_cfg_from(cfg, image_shape):
+    """DenseLossConfig honoring config-specified priors — shared by the
+    train-time loss and the decode path so non-default strides /
+    regress_ranges decode with the same anchors/points they trained with
+    (ADVICE r2: the decode path used all-defaults)."""
+    from ..core.dense_loss import DenseLossConfig
     head = cfg.model.bbox_head
-    kind = {"RetinaHead": "retina", "FCOSHead": "fcos",
-            "ATSSHead": "atss", "GFLHead": "gfl"}[head_type]
+    kind = DENSE_HEAD_KINDS[head.type]
     tc = cfg.get("train_cfg", {})
     assigner = tc.get("assigner", {})
-    dcfg = DenseLossConfig(
+    return DenseLossConfig(
         image_shape=image_shape,
         num_classes=head.num_classes,
         head=kind,
@@ -119,6 +126,52 @@ def make_loss_for(cfg, image_shape):
             "regress_ranges",
             ((-1, 64), (64, 128), (128, 256), (256, 512), (512, 1e8)))),
     )
+
+
+def reppoints_cfg_from(cfg, image_shape):
+    from ..core.reppoints import RepPointsConfig
+    head = cfg.model.bbox_head
+    tc = cfg.get("train_cfg", {}) or {}
+    init_a = tc.get("init", {}).get("assigner", {})
+    ref_a = tc.get("refine", {}).get("assigner", {})
+    return RepPointsConfig(
+        image_shape=image_shape,
+        num_classes=head.num_classes,
+        num_points=head.get("num_points", 9),
+        point_strides=tuple(head.get("point_strides",
+                                     (8, 16, 32, 64, 128))),
+        point_base_scale=head.get("point_base_scale", 4),
+        transform_method=head.get("transform_method", "moment"),
+        init_scale=init_a.get("scale", 4),
+        init_pos_num=init_a.get("pos_num", 1),
+        refine_pos_iou=ref_a.get("pos_iou_thr", 0.5),
+        refine_neg_iou=ref_a.get("neg_iou_thr", 0.4),
+        refine_min_pos_iou=ref_a.get("min_pos_iou", 0.0),
+        cls_weight=head.get("loss_cls", {}).get("loss_weight", 1.0),
+        init_weight=head.get("loss_bbox_init", {}).get("loss_weight", 0.5),
+        refine_weight=head.get("loss_bbox_refine", {}
+                               ).get("loss_weight", 1.0),
+    )
+
+
+def make_loss_for(cfg, image_shape):
+    """(loss_fn, loss_cfg) dispatch over the head family: LSHead ->
+    lsnet_loss, LSCPVHead -> lscpv_loss, Retina/FCOS/ATSS -> dense_loss."""
+    head_type = cfg.model.bbox_head.type
+    if head_type == "RepPointsHead":
+        from ..core.reppoints import reppoints_loss
+        rcfg = reppoints_cfg_from(cfg, image_shape)
+        return lambda outs, batch: reppoints_loss(outs, batch, rcfg)
+    if head_type == "LSHead":
+        from ..core.loss import lsnet_loss
+        lcfg = loss_cfg_from(cfg, image_shape)
+        return lambda outs, batch: lsnet_loss(outs, batch, lcfg)
+    if head_type == "LSCPVHead":
+        from ..core.cpv import CPVLossConfig, lscpv_loss
+        ccfg = CPVLossConfig(base=loss_cfg_from(cfg, image_shape))
+        return lambda outs, batch: lscpv_loss(outs, batch, ccfg)
+    from ..core.dense_loss import dense_loss
+    dcfg = dense_cfg_from(cfg, image_shape)
     return lambda outs, batch: dense_loss(outs, batch, dcfg)
 
 
@@ -170,7 +223,7 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
     ds = build_dataset(data_cfg.train.get("type", "CocoDataset"), DatasetConfig(
         ann_file=data_cfg.train.ann_file,
         img_prefix=data_cfg.train.img_prefix,
-        task=task, num_vectors=head.get("num_vectors", 4),
+        task=task, num_vectors=_head_num_vectors(cfg, head),
         img_scale=img_scale,
         multiscale_mode=data_cfg.train.get("multiscale_mode", "range"),
         ratio_range=data_cfg.train.get("ratio_range"),
@@ -231,11 +284,12 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
     def step_for(canvas_hw: Tuple[int, int]):
         if canvas_hw not in step_fns:
             if _is_two_stage(cfg):
-                from ..core.two_stage import mask_rcnn_loss, two_stage_loss
+                from ..core.two_stage import (cascade_rcnn_loss,
+                                              mask_rcnn_loss, two_stage_loss)
                 tscfg = two_stage_cfg_from(cfg, canvas_hw)
-                ts_loss = (mask_rcnn_loss
-                           if cfg.model.type == "MaskRCNN"
-                           else two_stage_loss)
+                ts_loss = {"MaskRCNN": mask_rcnn_loss,
+                           "CascadeRCNN": cascade_rcnn_loss}.get(
+                               cfg.model.type, two_stage_loss)
                 step_fns[canvas_hw] = make_train_step(
                     model, tx, None, mesh=mesh,
                     full_loss_fn=lambda variables, batch: ts_loss(
@@ -298,7 +352,8 @@ def evaluate_detector(cfg, model, state, canvas, *, batch_size: int = 8,
             "pose_bbox": "pose", "pose_kbox": "pose"}[head.get("task", "bbox")]
     ds = CocoDataset(DatasetConfig(
         ann_file=cfg.data.val.ann_file, img_prefix=cfg.data.val.img_prefix,
-        task=task, num_vectors=head.get("num_vectors", 4), filter_empty=False,
+        task=task, num_vectors=_head_num_vectors(cfg, head),
+        filter_empty=False,
         img_scale=tuple(cfg.data.val.get("img_scale", (1333, 800)))),
         test_mode=True)
     fwd = make_eval_forward(model)
@@ -310,17 +365,16 @@ def evaluate_detector(cfg, model, state, canvas, *, batch_size: int = 8,
     def decode_for(canvas_hw):
         if canvas_hw not in tcfgs:
             tcfg = test_cfg_from(cfg, canvas_hw)
-            if head_type in ("RetinaHead", "FCOSHead", "ATSSHead",
-                             "GFLHead"):
+            if head_type in DENSE_HEAD_KINDS:
                 from ..core.dense_decode import dense_decode
-                from ..core.dense_loss import DenseLossConfig
-                kind = {"RetinaHead": "retina", "FCOSHead": "fcos",
-                        "ATSSHead": "atss", "GFLHead": "gfl"}[head_type]
-                dcfg = DenseLossConfig(image_shape=canvas_hw,
-                                       num_classes=tcfg.num_classes,
-                                       head=kind)
+                dcfg = dense_cfg_from(cfg, canvas_hw)
                 fn = jax.jit(lambda outs, shapes, sf: dense_decode(
                     outs, shapes, sf, tcfg, dcfg))
+            elif head_type == "RepPointsHead":
+                from ..core.reppoints import reppoints_decode
+                rcfg = reppoints_cfg_from(cfg, canvas_hw)
+                fn = jax.jit(lambda outs, shapes, sf: reppoints_decode(
+                    outs, shapes, sf, tcfg, rcfg))
             elif head_type == "LSCPVHead":
                 from ..core.cpv import lscpv_decode
                 fn = jax.jit(lambda outs, shapes, sf: lscpv_decode(
@@ -334,6 +388,7 @@ def evaluate_detector(cfg, model, state, canvas, *, batch_size: int = 8,
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     n = len(ds) if max_images is None else min(max_images, len(ds))
     dts = []
+    segm_dts = []   # Mask R-CNN: mask branch results evaluated as segm
     img_sizes = {info["id"]: (info["height"], info["width"])
                  for info in ds.coco.img_infos}
     label_to_cat = {v: k for k, v in ds.coco.cat_to_label.items()}
@@ -347,15 +402,26 @@ def evaluate_detector(cfg, model, state, canvas, *, batch_size: int = 8,
             idxs = idx_list[s0:s0 + batch_size]
             samples = [ds.get_sample(i) for i in idxs]
             batch = collate_batch(samples, cv, task=task,
-                                  num_vectors=head.get("num_vectors", 4))
+                                  num_vectors=_head_num_vectors(cfg, head))
             if _is_two_stage(cfg):
-                from ..core.two_stage import two_stage_decode
+                from ..core.two_stage import (cascade_rcnn_decode,
+                                              mask_rcnn_decode,
+                                              two_stage_decode)
                 tscfg = two_stage_cfg_from(cfg, cv)
-                det = two_stage_decode(
-                    model, variables, jnp.asarray(batch["image"]),
-                    jnp.asarray(batch["img_shape"]),
-                    jnp.asarray(batch["scale_factor"]),
-                    tscfg, test_cfg_from(cfg, cv))
+                args = (model, variables, jnp.asarray(batch["image"]),
+                        jnp.asarray(batch["img_shape"]),
+                        jnp.asarray(batch["scale_factor"]),
+                        tscfg, test_cfg_from(cfg, cv))
+                if cfg.model.type == "MaskRCNN":
+                    det, masks = mask_rcnn_decode(*args)
+                    from ..evalkit.evaluator import mask_detections_to_coco
+                    segm_dts += mask_detections_to_coco(
+                        jax.tree.map(np.asarray, det), np.asarray(masks),
+                        batch["img_id"], label_to_cat, img_sizes)
+                elif cfg.model.type == "CascadeRCNN":
+                    det = cascade_rcnn_decode(*args)
+                else:
+                    det = two_stage_decode(*args)
             else:
                 outs = fwd(variables, jnp.asarray(batch["image"]))
                 det = decode_for(cv)(outs, jnp.asarray(batch["img_shape"]),
@@ -363,11 +429,18 @@ def evaluate_detector(cfg, model, state, canvas, *, batch_size: int = 8,
             dts += detections_to_coco(
                 jax.tree.map(np.asarray, det), batch["img_id"], label_to_cat,
                 task=head.get("task", "bbox"), img_sizes=img_sizes)
-    gts = coco_gt_from_annotations(ds.coco, task=head.get("task", "bbox"))
     eval_ids = {int(i) for i in
                 [info["id"] for info in ds.img_infos[:n]]}
+    gts = coco_gt_from_annotations(ds.coco, task=head.get("task", "bbox"))
     gts = [g for g in gts if g["image_id"] in eval_ids]
     dts = [d for d in dts if d["image_id"] in eval_ids]
     iou_type = {"bbox": "bbox", "segm": "segm", "pose_bbox": "keypoints",
                 "pose_kbox": "keypoints"}[head.get("task", "bbox")]
-    return evaluate_coco(gts, dts, img_sizes, iou_type=iou_type)
+    metrics = evaluate_coco(gts, dts, img_sizes, iou_type=iou_type)
+    if segm_dts:
+        segm_gts = coco_gt_from_annotations(ds.coco, task="segm")
+        segm_gts = [g for g in segm_gts if g["image_id"] in eval_ids]
+        segm_dts = [d for d in segm_dts if d["image_id"] in eval_ids]
+        metrics.update({f"segm_{k}": v for k, v in evaluate_coco(
+            segm_gts, segm_dts, img_sizes, iou_type="segm").items()})
+    return metrics
