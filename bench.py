@@ -1,9 +1,12 @@
-"""Benchmark: flagship LSNet inference throughput on the attached TPU chip.
+"""Benchmark: flagship LSNet e2e inference throughput on the attached chip.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
 Baseline (BASELINE.md): >=100 img/s/chip @ 800x1333 for X-101-64x4d-DCN.
-Round 1 benches the R50-DCN flagship forward (bf16) at the reference test
-scale; later rounds switch to X-101-DCN once its weights path is complete.
+
+Round 3: the headline metric is END-TO-END (forward + decode + on-device
+NMS -> final detections), matching the reference `tools/benchmark.py` which
+times full `model(...)` inference; the forward-only rate is reported to
+stderr alongside for comparison with earlier rounds.
 """
 
 import json
@@ -25,6 +28,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 def main():
     from lsnet_tpu.models import build_detector
+    from lsnet_tpu.core.decode import TestConfig, lsnet_decode
     from __graft_entry__ import _x101_flagship_cfg
 
     model, _ = build_detector(_x101_flagship_cfg())
@@ -38,32 +42,44 @@ def main():
         lambda x: x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x,
         variables)
     images = images.astype(jnp.bfloat16)
+    tcfg = TestConfig(image_shape=(H, W), num_classes=80, task="bbox",
+                      num_vectors=4, nms_pre=1000, score_thr=0.05,
+                      nms_iou=0.6, max_per_img=100)
+    img_shapes = jnp.asarray([[H, W]] * B, jnp.int32)
+    sfs = jnp.ones((B, 4), jnp.float32)
 
     @jax.jit
     def fwd(variables, images):
         return model.apply(variables, images)
 
-    def sync(outs):
+    @jax.jit
+    def e2e(variables, images, img_shapes, sfs):
+        outs = model.apply(variables, images)
+        return lsnet_decode(outs, img_shapes, sfs, tcfg)
+
+    def sync(x):
         # force completion with a host transfer (block_until_ready can be
         # a no-op over the remote-execution tunnel)
-        return float(jnp.asarray(outs["cls"][0]).reshape(-1)[0])
+        return float(jnp.asarray(jax.tree.leaves(x)[0]).reshape(-1)[0])
 
-    sync(fwd(variables, images))
-    sync(fwd(variables, images))
+    def rate(fn, *args, iters=20):
+        sync(fn(*args))
+        sync(fn(*args))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        sync(out)   # one sync: dispatches queue server-side
+        return B * iters / (time.perf_counter() - t0)
 
-    n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        outs = fwd(variables, images)
-    sync(outs)   # one sync: dispatches queue server-side
-    dt = time.perf_counter() - t0
-    imgs_per_s = B * n_iters / dt
+    fwd_rate = rate(fwd, variables, images)
+    e2e_rate = rate(e2e, variables, images, img_shapes, sfs)
+    print(f"fwd-only: {fwd_rate:.2f} img/s/chip", file=sys.stderr)
 
     print(json.dumps({
-        "metric": "lsnet_x101_64x4d_dcn_fwd_throughput_800x1344_bf16",
-        "value": round(imgs_per_s, 2),
+        "metric": "lsnet_x101_64x4d_dcn_e2e_throughput_800x1344_bf16",
+        "value": round(e2e_rate, 2),
         "unit": "img/s/chip",
-        "vs_baseline": round(imgs_per_s / 100.0, 3),
+        "vs_baseline": round(e2e_rate / 100.0, 3),
     }))
 
 

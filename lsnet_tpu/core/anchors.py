@@ -162,3 +162,83 @@ def bbox2distance(points: Array, bbox: Array, max_dist=None) -> Array:
     if max_dist is not None:
         d = jnp.clip(d, 0, max_dist)
     return d
+
+
+def ssd_base_anchors(strides: Sequence[int],
+                     ratios: Sequence[Sequence[float]],
+                     basesize_ratio_range: Tuple[float, float],
+                     input_size: int = 300) -> List[np.ndarray]:
+    """SSDAnchorGenerator base anchors (reference
+    `core/anchor/anchor_generator.py:355-451`): per-level min/max sizes from
+    the basesize ratio range, scales [1, sqrt(max/min)], ratios
+    [1, 1/r, r, ...] with scale_major=False and the SSD row reorder
+    (ratio-1 anchors at both scales first, other ratios at scale 1)."""
+    n_levels = len(strides)
+    min_ratio = int(basesize_ratio_range[0] * 100)
+    max_ratio = int(basesize_ratio_range[1] * 100)
+    step = int(np.floor(max_ratio - min_ratio) / (n_levels - 2))
+    min_sizes = [int(input_size * r / 100)
+                 for r in range(min_ratio, max_ratio + 1, step)]
+    max_sizes = [int(input_size * (r + step) / 100)
+                 for r in range(min_ratio, max_ratio + 1, step)]
+    if input_size == 300 and basesize_ratio_range[0] == 0.15:   # COCO
+        min_sizes.insert(0, int(input_size * 7 / 100))
+        max_sizes.insert(0, int(input_size * 15 / 100))
+    elif input_size == 300 and basesize_ratio_range[0] == 0.2:  # VOC
+        min_sizes.insert(0, int(input_size * 10 / 100))
+        max_sizes.insert(0, int(input_size * 20 / 100))
+    elif input_size == 512 and basesize_ratio_range[0] == 0.1:  # COCO
+        min_sizes.insert(0, int(input_size * 4 / 100))
+        max_sizes.insert(0, int(input_size * 10 / 100))
+    elif input_size == 512 and basesize_ratio_range[0] == 0.15:  # VOC
+        min_sizes.insert(0, int(input_size * 7 / 100))
+        max_sizes.insert(0, int(input_size * 15 / 100))
+    else:
+        raise ValueError("unsupported SSD basesize_ratio_range/input_size")
+    bases = []
+    for lvl, s in enumerate(strides):
+        base = float(min_sizes[lvl])
+        scales = np.array([1.0, np.sqrt(max_sizes[lvl] / min_sizes[lvl])],
+                          np.float32)
+        rs = [1.0]
+        for r in ratios[lvl]:
+            rs += [1.0 / r, r]
+        rs = np.asarray(rs, np.float32)
+        h_ratios = np.sqrt(rs)
+        w_ratios = 1.0 / h_ratios
+        # scale_major=False: SCALE-major enumeration (index = s*R + r)
+        ws = (base * scales[:, None] * w_ratios[None, :]).reshape(-1)
+        hs = (base * scales[:, None] * h_ratios[None, :]).reshape(-1)
+        xc = yc = s / 2.0
+        anchors = np.stack([xc - 0.5 * ws, yc - 0.5 * hs,
+                            xc + 0.5 * ws, yc + 0.5 * hs], 1)
+        # reference row reorder (:447-449): (ratio1, scale1),
+        # (ratio1, scale2), then the other ratios at scale 1
+        R = len(rs)
+        keep = [0, R] + list(range(1, R))
+        bases.append(anchors[keep].astype(np.float32))
+    return bases
+
+
+def ssd_grid_anchors(image_shape: Tuple[int, int], strides: Sequence[int],
+                     ratios: Sequence[Sequence[float]],
+                     basesize_ratio_range: Tuple[float, float],
+                     input_size: int = 300
+                     ) -> Tuple[np.ndarray, List[int], List[int]]:
+    """(anchors (N,4), per-level anchor counts, per-level num_base)."""
+    bases = ssd_base_anchors(strides, ratios, basesize_ratio_range,
+                             input_size)
+    H, W = image_shape
+    all_anchors, counts, num_base = [], [], []
+    for s, base in zip(strides, bases):
+        h, w = -(-H // s), -(-W // s)
+        xs = np.arange(w, dtype=np.float32) * s
+        ys = np.arange(h, dtype=np.float32) * s
+        shift_x, shift_y = np.meshgrid(xs, ys)
+        shifts = np.stack([shift_x.ravel(), shift_y.ravel(),
+                           shift_x.ravel(), shift_y.ravel()], 1)
+        anchors = (shifts[:, None, :] + base[None, :, :]).reshape(-1, 4)
+        all_anchors.append(anchors.astype(np.float32))
+        counts.append(anchors.shape[0])
+        num_base.append(base.shape[0])
+    return np.concatenate(all_anchors), counts, num_base

@@ -27,9 +27,18 @@ def dense_decode(outs: Dict[str, Sequence[Array]], img_shapes: Array,
                  scale_factors: Array, tcfg: TestConfig,
                  lcfg: DenseLossConfig, rescale: bool = True,
                  reg_max: int = 16) -> Detections:
-    """Batched decode + NMS for retina/fcos/atss/gfl head outputs."""
+    """Batched decode + NMS for retina/fcos/atss/gfl/ssd/fovea/fsaf heads."""
     C = tcfg.num_classes
     kind = lcfg.head
+    if kind == "ssd":
+        return _ssd_decode(outs, img_shapes, scale_factors, tcfg, lcfg,
+                           rescale)
+    if kind == "fovea":
+        return _fovea_decode(outs, img_shapes, scale_factors, tcfg, lcfg,
+                             rescale)
+    if kind == "fsaf":
+        return _fsaf_decode(outs, img_shapes, scale_factors, tcfg, lcfg,
+                            rescale)
     reg_ch = (4 * (reg_max + 1) if kind == "gfl" else 4)
     cls = jnp.concatenate([m.reshape(m.shape[0], -1, C)
                            for m in outs["cls"]], axis=1)
@@ -87,3 +96,82 @@ def dense_decode(outs: Dict[str, Sequence[Array]], img_shapes: Array,
     else:
         single_fn = single
     return jax.vmap(single_fn)(cls, reg, ctr, img_shapes, scale_factors)
+
+
+def _ssd_decode(outs, img_shapes, scale_factors, tcfg, lcfg, rescale):
+    """SSD get_bboxes: softmax scores over C+1, delta decode, NMS."""
+    from .dense_loss import _ssd_anchors, _ssd_flatten
+    anchors_np, counts, num_base = _ssd_anchors(lcfg)
+    anchors = jnp.asarray(anchors_np)
+    C = tcfg.num_classes
+    cls = _ssd_flatten(outs["cls"], num_base, C + 1)
+    reg = _ssd_flatten(outs["reg"], num_base, 4)
+
+    def single(cls_i, reg_i, img_shape, sf):
+        scores = jax.nn.softmax(cls_i.astype(jnp.float32), -1)[:, :C]
+        boxes = delta2bbox(anchors, reg_i.astype(jnp.float32),
+                           stds=lcfg.ssd_stds, max_shape=img_shape)
+        if rescale:
+            boxes = boxes / sf[None, :]
+        lms = jnp.zeros((boxes.shape[0], 8), boxes.dtype)
+        return nms_candidates(boxes, lms, scores, tcfg)
+
+    return jax.vmap(single)(cls, reg, img_shapes, scale_factors)
+
+
+def _fovea_decode(outs, img_shapes, scale_factors, tcfg, lcfg, rescale):
+    """Fovea get_bboxes (ref fovea_head.py:292-343): exp'd distances in
+    per-level base_edge units around the grid point."""
+    C = tcfg.num_classes
+    cls = jnp.concatenate([m.reshape(m.shape[0], -1, C)
+                           for m in outs["cls"]], axis=1)
+    reg = jnp.concatenate([m.reshape(m.shape[0], -1, 4)
+                           for m in outs["reg"]], axis=1)
+    pts = P.multi_level_points(lcfg.image_shape, lcfg.strides)
+    base_per = jnp.concatenate([
+        jnp.full((n,), b, jnp.float32) for n, b in zip(
+            P.num_level_points(lcfg.image_shape, lcfg.strides),
+            lcfg.fovea_base_edges)])
+
+    def single(cls_i, reg_i, img_shape, sf):
+        scores = jax.nn.sigmoid(cls_i.astype(jnp.float32))
+        d = jnp.exp(reg_i.astype(jnp.float32)) * base_per[:, None]
+        x1 = jnp.clip(pts[:, 0] - d[:, 0], 0, img_shape[1] - 1)
+        y1 = jnp.clip(pts[:, 1] - d[:, 1], 0, img_shape[0] - 1)
+        x2 = jnp.clip(pts[:, 0] + d[:, 2], 0, img_shape[1] - 1)
+        y2 = jnp.clip(pts[:, 1] + d[:, 3], 0, img_shape[0] - 1)
+        boxes = jnp.stack([x1, y1, x2, y2], -1)
+        if rescale:
+            boxes = boxes / sf[None, :]
+        lms = jnp.zeros((boxes.shape[0], 8), boxes.dtype)
+        return nms_candidates(boxes, lms, scores, tcfg)
+
+    return jax.vmap(single)(cls, reg, img_shapes, scale_factors)
+
+
+def _fsaf_decode(outs, img_shapes, scale_factors, tcfg, lcfg, rescale):
+    """FSAF get_bboxes: TBLR decode around cell centers."""
+    C = tcfg.num_classes
+    cls = jnp.concatenate([m.reshape(m.shape[0], -1, C)
+                           for m in outs["cls"]], axis=1)
+    reg = jnp.concatenate([m.reshape(m.shape[0], -1, 4)
+                           for m in outs["reg"]], axis=1)
+    pts = P.multi_level_points(lcfg.image_shape, lcfg.strides)
+    px = pts[:, 0]           # center_offset=0 (matches fsaf_loss)
+    py = pts[:, 1]
+    norm = lcfg.fsaf_normalizer * pts[:, 2]
+
+    def single(cls_i, reg_i, img_shape, sf):
+        scores = jax.nn.sigmoid(cls_i.astype(jnp.float32))
+        r = reg_i.astype(jnp.float32) * norm[:, None]
+        x1 = jnp.clip(px - r[:, 2], 0, img_shape[1])
+        y1 = jnp.clip(py - r[:, 0], 0, img_shape[0])
+        x2 = jnp.clip(px + r[:, 3], 0, img_shape[1])
+        y2 = jnp.clip(py + r[:, 1], 0, img_shape[0])
+        boxes = jnp.stack([x1, y1, x2, y2], -1)
+        if rescale:
+            boxes = boxes / sf[None, :]
+        lms = jnp.zeros((boxes.shape[0], 8), boxes.dtype)
+        return nms_candidates(boxes, lms, scores, tcfg)
+
+    return jax.vmap(single)(cls, reg, img_shapes, scale_factors)

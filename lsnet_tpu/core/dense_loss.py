@@ -54,6 +54,25 @@ class DenseLossConfig:
     cls_weight: float = 1.0
     bbox_weight: float = 1.0
     centerness_weight: float = 1.0
+    # ssd (reference configs/_base_/models/ssd300.py)
+    ssd_input_size: int = 300
+    ssd_ratios: Tuple[Tuple[float, ...], ...] = (
+        (2.0,), (2.0, 3.0), (2.0, 3.0), (2.0, 3.0), (2.0,), (2.0,))
+    ssd_basesize_ratio_range: Tuple[float, float] = (0.15, 0.9)
+    ssd_neg_pos_ratio: int = 3
+    ssd_smoothl1_beta: float = 1.0
+    ssd_stds: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
+    # fovea (reference fovea defaults: alpha .4 / gamma 1.5, bbox w .75)
+    fovea_base_edges: Tuple[float, ...] = (16, 32, 64, 128, 256)
+    fovea_scale_ranges: Tuple[Tuple[float, float], ...] = (
+        (8, 32), (16, 64), (32, 128), (64, 256), (128, 512))
+    fovea_sigma: float = 0.4
+    fovea_alpha: float = 0.4
+    fovea_gamma: float = 1.5
+    fovea_bbox_weight: float = 0.75
+    # fsaf (CenterRegionAssigner + TBLR coder, reference fsaf config)
+    fsaf_pos_scale: float = 0.2
+    fsaf_normalizer: float = 4.0
 
 
 def _flatten(maps: Sequence[Array], ch: int) -> Array:
@@ -243,7 +262,9 @@ def atss_loss(outs: Dict[str, Sequence[Array]], batch: Dict[str, Array],
 def dense_loss(outs, batch, cfg: DenseLossConfig):
     """Dispatch by head kind (the generic ``lsnet_loss`` counterpart)."""
     return {"retina": retina_loss, "fcos": fcos_loss,
-            "atss": atss_loss, "gfl": gfl_loss}[cfg.head](outs, batch, cfg)
+            "atss": atss_loss, "gfl": gfl_loss, "ssd": ssd_loss,
+            "fovea": fovea_loss, "fsaf": fsaf_loss}[cfg.head](outs, batch,
+                                                              cfg)
 
 
 # ------------------------------------------------------------------- GFL ---
@@ -339,4 +360,247 @@ def gfl_loss(outs: Dict[str, Sequence[Array]], batch: Dict[str, Array],
                                   batch["img_shape"])
     losses = {"loss_cls": lc.mean(), "loss_bbox": lb.mean(),
               "loss_dfl": ld.mean()}
+    return sum(losses.values()), losses
+
+
+# ------------------------------------------------------------------- SSD ---
+
+def _ssd_anchors(cfg: DenseLossConfig):
+    from .anchors import ssd_grid_anchors
+    return ssd_grid_anchors(cfg.image_shape, cfg.strides, cfg.ssd_ratios,
+                            cfg.ssd_basesize_ratio_range, cfg.ssd_input_size)
+
+
+def _ssd_flatten(maps: Sequence[Array], num_base, ch: int) -> Array:
+    """Per-level (B,H,W,A_l*ch) -> (B, sum(H*W*A_l), ch)."""
+    flats = []
+    for m, A in zip(maps, num_base):
+        B, H, W, _ = m.shape
+        flats.append(m.reshape(B, H * W * A, ch))
+    return jnp.concatenate(flats, axis=1)
+
+
+def ssd_loss(outs: Dict[str, Sequence[Array]], batch: Dict[str, Array],
+             cfg: DenseLossConfig):
+    """SSD multibox loss (reference `ssd_head.py:128-244`): MaxIoU
+    assignment (pos=neg=0.5, per-GT best anchor forced), softmax CE with
+    3:1 online hard-negative mining, SmoothL1 on deltas."""
+    anchors_np, counts, num_base = _ssd_anchors(cfg)
+    anchors = jnp.asarray(anchors_np)
+    C = cfg.num_classes
+    cls = _ssd_flatten(outs["cls"], num_base, C + 1).astype(jnp.float32)
+    reg = _ssd_flatten(outs["reg"], num_base, 4).astype(jnp.float32)
+    N = anchors.shape[0]
+
+    def single(cls_i, reg_i, gt_bboxes, gt_valid, gt_labels, img_shape):
+        res = max_iou_assign(anchors, jnp.ones((N,), bool), gt_bboxes,
+                             gt_valid, pos_iou_thr=0.5, neg_iou_thr=0.5,
+                             min_pos_iou=0.0, gt_max_assign_all=False)
+        pos = res.gt_idx >= 0
+        posf = pos.astype(jnp.float32)
+        labels = jnp.where(pos, gt_labels[jnp.maximum(res.gt_idx, 0)], C)
+        logp = jax.nn.log_softmax(cls_i, axis=-1)
+        ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        num_pos = jnp.sum(posf)
+        # online hard negative mining: top (3 * num_pos) negative CE
+        neg = ~pos & ~res.ignore
+        n_neg = jnp.minimum(cfg.ssd_neg_pos_ratio * num_pos,
+                            jnp.sum(neg.astype(jnp.float32)))
+        neg_ce = jnp.where(neg, ce, -jnp.inf)
+        sorted_ce = jax.lax.top_k(neg_ce, N)[0]
+        kth = sorted_ce[jnp.clip(n_neg.astype(jnp.int32) - 1, 0, N - 1)]
+        neg_sel = neg & (ce >= kth) & (n_neg > 0)
+        loss_cls = (jnp.sum(ce * posf)
+                    + jnp.sum(ce * neg_sel.astype(jnp.float32)))
+        tgt = gt_bboxes[jnp.maximum(res.gt_idx, 0)]
+        # padded rows would hit log(0) in bbox2delta -> inf*0 = NaN;
+        # substitute the anchor itself (zero delta, zero weight)
+        safe_tgt = jnp.where(pos[:, None], tgt, anchors)
+        d = bbox2delta(anchors, safe_tgt, stds=cfg.ssd_stds)
+        diff = jnp.abs(reg_i - d)
+        b = cfg.ssd_smoothl1_beta
+        sl1 = jnp.where(diff < b, 0.5 * diff * diff / b,
+                        diff - 0.5 * b).sum(-1)
+        loss_bbox = jnp.sum(sl1 * posf)
+        return loss_cls, loss_bbox, num_pos
+
+    lc, lb, np_ = jax.vmap(single)(cls, reg, batch["gt_bboxes"],
+                                   batch["gt_valid"], batch["gt_labels"],
+                                   batch["img_shape"])
+    denom = jnp.maximum(jnp.sum(np_), 1.0)
+    losses = {"loss_cls": jnp.sum(lc) / denom * cfg.cls_weight,
+              "loss_bbox": jnp.sum(lb) / denom * cfg.bbox_weight}
+    return sum(losses.values()), losses
+
+
+# ------------------------------------------------------------- FoveaBox ---
+
+def _fovea_targets(cfg: DenseLossConfig, gt_bboxes, gt_valid, gt_labels):
+    """Per-point labels + log-space (l,t,r,b)/base targets for one image.
+
+    Vectorized `_get_target_single` (reference fovea_head.py:200-260):
+    smallest-area GT wins where fovea regions overlap."""
+    C = cfg.num_classes
+    areas = jnp.sqrt(jnp.clip(
+        (gt_bboxes[:, 2] - gt_bboxes[:, 0])
+        * (gt_bboxes[:, 3] - gt_bboxes[:, 1]), 0.0))
+    labels_all, targets_all = [], []
+    H, W = cfg.image_shape
+    for base, (lo, up), s in zip(cfg.fovea_base_edges,
+                                 cfg.fovea_scale_ranges, cfg.strides):
+        h, w = -(-H // s), -(-W // s)
+        gx = jnp.arange(w, dtype=jnp.float32)
+        gy = jnp.arange(h, dtype=jnp.float32)
+        hit = (areas >= lo) & (areas <= up) & gt_valid          # (M,)
+        gb = gt_bboxes / s
+        half_w = 0.5 * (gb[:, 2] - gb[:, 0])
+        half_h = 0.5 * (gb[:, 3] - gb[:, 1])
+        x1 = jnp.clip(jnp.ceil(gb[:, 0] + (1 - cfg.fovea_sigma) * half_w
+                               - 0.5), 0, w - 1)
+        x2 = jnp.clip(jnp.floor(gb[:, 0] + (1 + cfg.fovea_sigma) * half_w
+                                - 0.5), 0, w - 1)
+        y1 = jnp.clip(jnp.ceil(gb[:, 1] + (1 - cfg.fovea_sigma) * half_h
+                               - 0.5), 0, h - 1)
+        y2 = jnp.clip(jnp.floor(gb[:, 1] + (1 + cfg.fovea_sigma) * half_h
+                                - 0.5), 0, h - 1)
+        in_x = (gx[:, None] >= x1[None, :]) & (gx[:, None] <= x2[None, :])
+        in_y = (gy[:, None] >= y1[None, :]) & (gy[:, None] <= y2[None, :])
+        inside = (in_y[:, None, :] & in_x[None, :, :]) & hit[None, None, :]
+        # smallest-area GT wins (reference applies largest first, smaller
+        # overwrite)
+        rank = jnp.where(inside, areas[None, None, :], INF)
+        gi = jnp.argmin(rank, axis=-1)                           # (h, w)
+        any_hit = jnp.any(inside, axis=-1)
+        labels = jnp.where(any_hit, gt_labels[gi], C).reshape(-1)
+        gsel = gt_bboxes[gi.reshape(-1)]                          # (hw, 4)
+        px = jnp.tile(gx, h) * s
+        py = jnp.repeat(gy, w) * s
+        t = jnp.stack([px - gsel[:, 0], py - gsel[:, 1],
+                       gsel[:, 2] - px, gsel[:, 3] - py], -1) / base
+        t = jnp.log(jnp.clip(t, 1.0 / 16, 16.0))
+        targets_all.append(jnp.where(any_hit.reshape(-1, 1), t, 0.0))
+        labels_all.append(labels)
+    return jnp.concatenate(labels_all), jnp.concatenate(targets_all)
+
+
+def fovea_loss(outs: Dict[str, Sequence[Array]], batch: Dict[str, Array],
+               cfg: DenseLossConfig):
+    C = cfg.num_classes
+    cls = _flatten(outs["cls"], C).astype(jnp.float32)
+    reg = _flatten(outs["reg"], 4).astype(jnp.float32)
+    B = cls.shape[0]
+
+    def single(cls_i, reg_i, gt_bboxes, gt_valid, gt_labels):
+        labels, tgts = _fovea_targets(cfg, gt_bboxes, gt_valid, gt_labels)
+        pos = labels < C
+        posf = pos.astype(jnp.float32)
+        num_pos = jnp.sum(posf)
+        lc = sigmoid_focal_loss(cls_i, labels, gamma=cfg.fovea_gamma,
+                                alpha=cfg.fovea_alpha, reduction="sum")
+        b = 0.11
+        diff = jnp.abs(reg_i - tgts)
+        sl1 = jnp.where(diff < b, 0.5 * diff * diff / b,
+                        diff - 0.5 * b).mean(-1)
+        lb = jnp.sum(sl1 * posf)
+        return lc, lb, num_pos
+
+    lc, lb, np_ = jax.vmap(single)(cls, reg, batch["gt_bboxes"],
+                                   batch["gt_valid"], batch["gt_labels"])
+    num_pos = jnp.sum(np_)
+    losses = {
+        "loss_cls": jnp.sum(lc) / (num_pos + B) * cfg.cls_weight,
+        "loss_bbox": (jnp.sum(lb) / jnp.maximum(num_pos, 1.0)
+                      * cfg.fovea_bbox_weight),
+    }
+    return sum(losses.values()), losses
+
+
+# ----------------------------------------------------------------- FSAF ---
+
+def _fsaf_assign(cfg: DenseLossConfig, gt_bboxes, gt_valid):
+    """CenterRegionAssigner over all levels: per level, points inside the
+    pos_scale-shrunk GT are positive (smallest-area GT wins).
+
+    Returns (gt_idx (N,) int32 -1=bg, level_of_point (N,) int32)."""
+    H, W = cfg.image_shape
+    areas = jnp.clip((gt_bboxes[:, 2] - gt_bboxes[:, 0])
+                     * (gt_bboxes[:, 3] - gt_bboxes[:, 1]), 0.0)
+    cx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) / 2
+    cy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) / 2
+    hw = (gt_bboxes[:, 2] - gt_bboxes[:, 0]) * cfg.fsaf_pos_scale / 2
+    hh = (gt_bboxes[:, 3] - gt_bboxes[:, 1]) * cfg.fsaf_pos_scale / 2
+    gt_idx_all, lvl_all = [], []
+    for li, s in enumerate(cfg.strides):
+        h, w = -(-H // s), -(-W // s)
+        # anchor centers: center_offset=0 in the reference fsaf anchor
+        # generator -> centers at x*stride exactly
+        px = jnp.tile(jnp.arange(w, dtype=jnp.float32), h) * s
+        py = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w) * s
+        inside = ((px[:, None] >= cx - hw) & (px[:, None] <= cx + hw)
+                  & (py[:, None] >= cy - hh) & (py[:, None] <= cy + hh)
+                  & gt_valid[None, :])
+        rank = jnp.where(inside, areas[None, :], INF)
+        gi = jnp.argmin(rank, axis=-1)
+        gt_idx = jnp.where(jnp.any(inside, -1), gi, -1).astype(jnp.int32)
+        gt_idx_all.append(gt_idx)
+        lvl_all.append(jnp.full((h * w,), li, jnp.int32))
+    return jnp.concatenate(gt_idx_all), jnp.concatenate(lvl_all)
+
+
+def fsaf_loss(outs: Dict[str, Sequence[Array]], batch: Dict[str, Array],
+              cfg: DenseLossConfig):
+    """FSAF loss (reference `fsaf_head.py:161-288`): center-region
+    assignment, focal cls + IoU loss on the TBLR decode, and ONLINE level
+    selection — each GT keeps only its min-loss pyramid level."""
+    C = cfg.num_classes
+    L = len(cfg.strides)
+    M = batch["gt_bboxes"].shape[1]
+    cls = _flatten(outs["cls"], C).astype(jnp.float32)
+    reg = _flatten(outs["reg"], 4).astype(jnp.float32)
+    pts = P.multi_level_points(cfg.image_shape, cfg.strides)
+    # anchor centers: reference FSAF anchors have center_offset 0 -> the
+    # grid point itself; TBLR normalizer scales by stride
+    px = pts[:, 0]
+    py = pts[:, 1]
+    stride = pts[:, 2]
+
+    def single(cls_i, reg_i, gt_bboxes, gt_valid, gt_labels):
+        gt_idx, lvl = _fsaf_assign(cfg, gt_bboxes, gt_valid)
+        pos = gt_idx >= 0
+        posf = pos.astype(jnp.float32)
+        tgt = gt_bboxes[jnp.maximum(gt_idx, 0)]
+        norm = cfg.fsaf_normalizer * stride
+        # decode TBLR preds -> boxes (reference tblr2bboxes)
+        t, b_, l, r = [reg_i[:, i] * norm for i in range(4)]
+        boxes = jnp.stack([px - l, py - t, px + r, py + b_], -1)
+        il = iou_loss(boxes, tgt, posf, reduction="none")
+        lc_map = sigmoid_focal_loss(
+            cls_i, jnp.where(pos, gt_labels[jnp.maximum(gt_idx, 0)], C),
+            reduction="none").sum(-1)
+        # online level selection: per (gt, level) mean pos loss; keep argmin
+        comb = lc_map + il
+        oh_gt = jax.nn.one_hot(jnp.where(pos, gt_idx, M), M + 1,
+                               dtype=jnp.float32)[:, :M]          # (N, M)
+        oh_lvl = jax.nn.one_hot(lvl, L, dtype=jnp.float32)        # (N, L)
+        sel = oh_gt[:, :, None] * oh_lvl[:, None, :]              # (N, M, L)
+        sums = jnp.einsum("n,nml->ml", comb, sel)
+        cnts = jnp.einsum("nml->ml", sel)
+        means = jnp.where(cnts > 0, sums / jnp.maximum(cnts, 1.0), INF)
+        best_lvl = jnp.argmin(means, axis=-1)                     # (M,)
+        keep = (lvl == best_lvl[jnp.maximum(gt_idx, 0)]) & pos
+        keepf = keep.astype(jnp.float32)
+        num_pos = jnp.maximum(jnp.sum(keepf), 1.0)
+        # background everywhere except kept positives
+        labels = jnp.where(keep, gt_labels[jnp.maximum(gt_idx, 0)], C)
+        # positives dropped by level selection are ignored, not background
+        lw = jnp.where(pos & ~keep, 0.0, 1.0)
+        loss_cls = sigmoid_focal_loss(cls_i, labels, lw,
+                                      avg_factor=num_pos)
+        loss_bbox = jnp.sum(il * keepf) / num_pos
+        return loss_cls, loss_bbox
+
+    lc, lb = jax.vmap(single)(cls, reg, batch["gt_bboxes"],
+                              batch["gt_valid"], batch["gt_labels"])
+    losses = {"loss_cls": lc.mean() * cfg.cls_weight,
+              "loss_bbox": lb.mean() * cfg.bbox_weight}
     return sum(losses.values()), losses

@@ -21,7 +21,8 @@ from .backbones.resnet import ResNet  # noqa: E402
 from .necks.fpn import FPN  # noqa: E402
 from .heads.ls_head import LSHead  # noqa: E402
 from .heads.lscpv_head import LSCPVHead  # noqa: E402
-from .heads.dense import ATSSHead, FCOSHead, GFLHead, RetinaHead  # noqa: E402
+from .heads.dense import (ATSSHead, FCOSHead, FoveaHead, FSAFHead,  # noqa: E402
+                          GFLHead, RetinaHead, SSDHead)
 from .heads.reppoints import RepPointsHead  # noqa: E402
 from .detectors.lsnet import LSDetector  # noqa: E402
 
@@ -37,6 +38,9 @@ HEADS.register_module(module=FCOSHead)
 HEADS.register_module(module=ATSSHead)
 HEADS.register_module(module=GFLHead)
 HEADS.register_module(module=RepPointsHead)
+HEADS.register_module(module=SSDHead)
+HEADS.register_module(module=FoveaHead)
+HEADS.register_module(module=FSAFHead)
 DETECTORS.register_module(module=LSDetector)
 
 
@@ -115,7 +119,16 @@ def build_backbone(cfg: Dict[str, Any]):
     return _registry_build(BACKBONES, kind, cfg)
 
 
-def build_neck(cfg: Dict[str, Any]):
+def build_neck(cfg):
+    if cfg is None:
+        from flax import linen as _nn
+
+        class IdentityNeck(_nn.Module):
+            @_nn.compact
+            def __call__(self, feats):
+                return list(feats)
+
+        return IdentityNeck()
     cfg = dict(cfg)
     kind = cfg.pop("type")
     cfg.pop("in_channels", None)     # inferred from inputs in flax
@@ -173,14 +186,19 @@ def build_head(cfg: Dict[str, Any]):
         if "point_strides" in cfg:
             cfg["point_strides"] = tuple(cfg["point_strides"])
         return RepPointsHead(**cfg), loss_cfgs
-    if kind in ("RetinaHead", "FCOSHead", "ATSSHead", "GFLHead"):
+    if kind in ("RetinaHead", "FCOSHead", "ATSSHead", "GFLHead", "SSDHead",
+                "FoveaHead", "FSAFHead"):
         # assigner/coder/anchor settings live in the loss config, not the
         # flax module (mmdet folds them into the head; we keep the split)
+        anchor_gen = None
         for k in ("anchor_generator", "bbox_coder", "train_cfg", "test_cfg",
                   "strides", "regress_ranges", "norm_groups",
                   "centerness_on_reg", "center_sampling", "norm_on_bbox",
-                  "centerness_branch"):
+                  "centerness_branch", "base_edge_list", "scale_ranges",
+                  "sigma", "background_label", "reg_decoded_bbox"):
             v = cfg.pop(k, None)
+            if k == "anchor_generator":
+                anchor_gen = v
             if k == "anchor_generator" and v is not None and \
                     kind == "RetinaHead":
                 cfg["num_base_anchors"] = (len(v.get("ratios", [0.5, 1, 2]))
@@ -188,8 +206,18 @@ def build_head(cfg: Dict[str, Any]):
             if k in ("strides", "centerness_on_reg") and v is not None and \
                     kind == "FCOSHead":
                 cfg[k] = tuple(v) if k == "strides" else v
+        if kind == "SSDHead":
+            cfg["in_channels"] = tuple(cfg.get(
+                "in_channels", (512, 1024, 512, 256, 256, 256)))
+            if anchor_gen is not None:
+                # A_l = ratio-1 at both scales + the extra ratio pairs
+                cfg["num_base_anchors"] = tuple(
+                    2 + 2 * len(r) for r in anchor_gen.get(
+                        "ratios", [[2], [2, 3], [2, 3], [2, 3], [2], [2]]))
         head_cls = {"RetinaHead": RetinaHead, "FCOSHead": FCOSHead,
-                    "ATSSHead": ATSSHead, "GFLHead": GFLHead}[kind]
+                    "ATSSHead": ATSSHead, "GFLHead": GFLHead,
+                    "SSDHead": SSDHead, "FoveaHead": FoveaHead,
+                    "FSAFHead": FSAFHead}[kind]
         return head_cls(**cfg), loss_cfgs
     return _registry_build(HEADS, kind, cfg), loss_cfgs
 
@@ -250,7 +278,8 @@ def build_detector(cfg: Dict[str, Any]):
         return det, {"num_classes": num_classes}
     head, loss_cfgs = build_head(cfg.pop("bbox_head"))
     if kind in ("LSDetector", "LSCPVDetector", "RetinaNet", "FCOS",
-                "ATSS", "GFL", "RepPointsDetector", "SingleStageDetector"):
+                "ATSS", "GFL", "RepPointsDetector", "SingleStageDetector",
+                "SSD", "FOVEA", "FoveaBox", "FSAF"):
         # all single-stage: backbone -> neck -> head assembly
         return LSDetector(backbone=backbone, neck=neck, head=head), loss_cfgs
     det_cls = DETECTORS.get(kind)

@@ -165,3 +165,72 @@ class GFLHead(nn.Module):
             cls_maps.append(cls_out(cf))
             reg_maps.append(reg_out(rf) * scales[i].astype(f.dtype))
         return {"cls": cls_maps, "reg": reg_maps}
+
+
+class SSDHead(nn.Module):
+    """SSD detection head (reference `.../ssd_head.py:15-105`): one 3x3
+    cls conv + one 3x3 reg conv per input level, per-level anchor counts
+    (4/6/6/6/4/4 for SSD300), softmax classification over C+1."""
+    num_classes: int
+    in_channels: Tuple[int, ...] = (512, 1024, 512, 256, 256, 256)
+    num_base_anchors: Tuple[int, ...] = (4, 6, 6, 6, 4, 4)
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array]) -> Dict[str, List[Array]]:
+        cls_maps, reg_maps = [], []
+        for i, f in enumerate(feats):
+            A = self.num_base_anchors[i]
+            cls_maps.append(_conv3(A * (self.num_classes + 1),
+                                   f"cls_conv{i}")(f))
+            reg_maps.append(_conv3(A * 4, f"reg_conv{i}")(f))
+        return {"cls": cls_maps, "reg": reg_maps}
+
+
+class FoveaHead(nn.Module):
+    """FoveaBox head (reference `.../fovea_head.py:42-122`, with_deform
+    variant omitted): cls/reg towers + 3x3 outputs; reg is log-space
+    (l, t, r, b) in per-level base_edge units."""
+    num_classes: int
+    in_channels: int = 256
+    feat_channels: int = 256
+    stacked_convs: int = 4
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array]) -> Dict[str, List[Array]]:
+        cls_tower = _Tower(self.stacked_convs, self.feat_channels, False,
+                           "cls_conv")
+        reg_tower = _Tower(self.stacked_convs, self.feat_channels, False,
+                           "reg_conv")
+        cls_out = _conv3(self.num_classes, "fovea_cls",
+                         bias_init=_prior_bias)
+        reg_out = _conv3(4, "fovea_reg")
+        cls_maps, reg_maps = [], []
+        for f in feats:
+            reg_maps.append(reg_out(reg_tower(f)))
+            cls_maps.append(cls_out(cls_tower(f)))
+        return {"cls": cls_maps, "reg": reg_maps}
+
+
+class FSAFHead(nn.Module):
+    """FSAF head (reference `.../fsaf_head.py:13-55`): RetinaHead with ONE
+    anchor per cell and ReLU'd (t, b, l, r) regression (the TBLR coder only
+    accepts positive distances); reg bias init 0.25."""
+    num_classes: int
+    in_channels: int = 256
+    feat_channels: int = 256
+    stacked_convs: int = 4
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array]) -> Dict[str, List[Array]]:
+        cls_tower = _Tower(self.stacked_convs, self.feat_channels, False,
+                           "cls_conv")
+        reg_tower = _Tower(self.stacked_convs, self.feat_channels, False,
+                           "reg_conv")
+        cls_out = _conv3(self.num_classes, "retina_cls",
+                         bias_init=_prior_bias)
+        reg_out = _conv3(4, "retina_reg", bias_init=0.25)
+        cls_maps, reg_maps = [], []
+        for f in feats:
+            cls_maps.append(cls_out(cls_tower(f)))
+            reg_maps.append(nn.relu(reg_out(reg_tower(f))))
+        return {"cls": cls_maps, "reg": reg_maps}

@@ -100,7 +100,9 @@ def _head_num_vectors(cfg, head) -> int:
 
 
 DENSE_HEAD_KINDS = {"RetinaHead": "retina", "FCOSHead": "fcos",
-                    "ATSSHead": "atss", "GFLHead": "gfl"}
+                    "ATSSHead": "atss", "GFLHead": "gfl",
+                    "SSDHead": "ssd", "FoveaHead": "fovea",
+                    "FSAFHead": "fsaf"}
 
 
 def dense_cfg_from(cfg, image_shape):
@@ -113,11 +115,43 @@ def dense_cfg_from(cfg, image_shape):
     kind = DENSE_HEAD_KINDS[head.type]
     tc = cfg.get("train_cfg", {})
     assigner = tc.get("assigner", {})
+    ag = head.get("anchor_generator", {}) or {}
+    extra = {}
+    if kind == "ssd":
+        extra = dict(
+            strides=tuple(ag.get("strides", (8, 16, 32, 64, 100, 300))),
+            ssd_input_size=ag.get("input_size", 300),
+            ssd_ratios=tuple(tuple(r) for r in ag.get(
+                "ratios", ((2,), (2, 3), (2, 3), (2, 3), (2,), (2,)))),
+            ssd_basesize_ratio_range=tuple(ag.get(
+                "basesize_ratio_range", (0.15, 0.9))),
+            ssd_neg_pos_ratio=tc.get("neg_pos_ratio", 3),
+            ssd_smoothl1_beta=tc.get("smoothl1_beta", 1.0),
+            ssd_stds=tuple(head.get("bbox_coder", {}).get(
+                "target_stds", (0.1, 0.1, 0.2, 0.2))))
+    elif kind == "fovea":
+        extra = dict(
+            fovea_base_edges=tuple(head.get("base_edge_list",
+                                            (16, 32, 64, 128, 256))),
+            fovea_scale_ranges=tuple(tuple(r) for r in head.get(
+                "scale_ranges",
+                ((8, 32), (16, 64), (32, 128), (64, 256), (128, 512)))),
+            fovea_sigma=head.get("sigma", 0.4),
+            fovea_alpha=head.get("loss_cls", {}).get("alpha", 0.4),
+            fovea_gamma=head.get("loss_cls", {}).get("gamma", 1.5),
+            fovea_bbox_weight=head.get("loss_bbox", {}
+                                       ).get("loss_weight", 0.75))
+    elif kind == "fsaf":
+        extra = dict(
+            fsaf_pos_scale=assigner.get("pos_scale", 0.2),
+            fsaf_normalizer=head.get("bbox_coder", {}).get(
+                "normalizer", 4.0))
+    if "strides" not in extra:
+        extra["strides"] = tuple(head.get("strides", (8, 16, 32, 64, 128)))
     return DenseLossConfig(
         image_shape=image_shape,
         num_classes=head.num_classes,
         head=kind,
-        strides=tuple(head.get("strides", (8, 16, 32, 64, 128))),
         pos_iou_thr=assigner.get("pos_iou_thr", 0.5),
         neg_iou_thr=assigner.get("neg_iou_thr", 0.4),
         min_pos_iou=assigner.get("min_pos_iou", 0.0),
@@ -125,6 +159,7 @@ def dense_cfg_from(cfg, image_shape):
         regress_ranges=tuple(tuple(r) for r in head.get(
             "regress_ranges",
             ((-1, 64), (64, 128), (128, 256), (256, 512), (512, 1e8)))),
+        **extra,
     )
 
 
