@@ -124,63 +124,100 @@ class COCOEval:
 
     # ------------------------------------------------------------- match
 
-    def _evaluate_img(self, img_id, cat_id, area_rng, max_det, ious):
+    def _pack_category(self, cat):
+        """Pad one category's per-image gts/dts into dense arrays so the
+        greedy matching vectorizes ACROSS images (the reference matches in
+        a per-(img, cat) python loop — `cocoeval.py:218-247` — which is
+        the 5k-image wall; this runs the same greedy recurrence once per
+        det rank over (n_imgs, T, G) tensors)."""
         p = self.p
-        gts = self._gts[img_id, cat_id]
-        dts = sorted(self._dts[img_id, cat_id], key=lambda d: -d["score"])
-        dts = dts[:max_det]
-        if not gts and not dts:
+        # pad to the category's ACTUAL maxima, not the nominal max_dets —
+        # a COCO category typically has ~1-5 dets/image, not 100
+        imgs = [i for i in self.img_ids
+                if self._gts[i, cat] or self._dts[i, cat]]
+        if not imgs:
             return None
+        n = len(imgs)
+        maxD = min(max(p.max_dets),
+                   max(1, max(len(self._dts[i, cat]) for i in imgs)))
+        G = max(1, max(len(self._gts[i, cat]) for i in imgs))
+        iou_p = np.zeros((n, maxD, G))
+        gt_crowd = np.zeros((n, G), bool)
+        gt_base_ig = np.zeros((n, G), bool)
+        gt_area = np.zeros((n, G))
+        gt_valid = np.zeros((n, G), bool)
+        dt_score = np.full((n, maxD), -np.inf)
+        dt_area = np.zeros((n, maxD))
+        dt_valid = np.zeros((n, maxD), bool)
+        for ii, i in enumerate(imgs):
+            gts = self._gts[i, cat]
+            dts = sorted(self._dts[i, cat],
+                         key=lambda d: -d["score"])[:maxD]
+            for j, g in enumerate(gts):
+                gt_crowd[ii, j] = bool(g.get("iscrowd", 0))
+                gt_base_ig[ii, j] = bool(g.get("ignore", 0)
+                                         or g.get("iscrowd", 0))
+                gt_area[ii, j] = g.get("area",
+                                       g["bbox"][2] * g["bbox"][3])
+                gt_valid[ii, j] = True
+            for j, d in enumerate(dts):
+                dt_score[ii, j] = d["score"]
+                dt_area[ii, j] = d.get("area",
+                                       d["bbox"][2] * d["bbox"][3])
+                dt_valid[ii, j] = True
+            iou = self._ious[i, cat]
+            if iou.size:
+                iou_p[ii, :iou.shape[0], :iou.shape[1]] = iou
+        return dict(n=n, G=G, iou=iou_p, crowd=gt_crowd, base_ig=gt_base_ig,
+                    gt_area=gt_area, gt_valid=gt_valid, dt_score=dt_score,
+                    dt_area=dt_area, dt_valid=dt_valid)
 
-        for g in gts:
-            ignore = g.get("ignore", 0) or g.get("iscrowd", 0)
-            area = g.get("area", g["bbox"][2] * g["bbox"][3])
-            g["_ignore"] = 1 if (ignore or area < area_rng[0]
-                                 or area > area_rng[1]) else 0
-        gt_order = np.argsort([g["_ignore"] for g in gts], kind="mergesort")
-        gts_sorted = [gts[i] for i in gt_order]
-        iscrowd = [int(g.get("iscrowd", 0)) for g in gts_sorted]
-        ious_s = ious[:, gt_order] if ious.size else ious
+    def _match_category(self, pk, area_rng):
+        """Vectorized greedy matching for one (category, area range).
 
-        T = len(p.iou_thrs)
-        G, D = len(gts_sorted), len(dts)
-        gtm = np.zeros((T, G), np.int64)
-        dtm = np.zeros((T, D), np.int64)
-        gt_ig = np.array([g["_ignore"] for g in gts_sorted])
-        dt_ig = np.zeros((T, D))
-        if ious_s.size:
-            for t, thr in enumerate(p.iou_thrs):
-                for d in range(D):
-                    best = min(thr, 1 - 1e-10)
-                    m = -1
-                    for g in range(G):
-                        if gtm[t, g] > 0 and not iscrowd[g]:
-                            continue
-                        if m > -1 and gt_ig[m] == 0 and gt_ig[g] == 1:
-                            break
-                        if ious_s[d, g] < best:
-                            continue
-                        best = ious_s[d, g]
-                        m = g
-                    if m == -1:
-                        continue
-                    dt_ig[t, d] = gt_ig[m]
-                    dtm[t, d] = gts_sorted[m].get("id", m + 1)
-                    gtm[t, m] = dts[d].get("id", d + 1)
-        # unmatched dets outside the area range are ignored
-        a = np.array([(d["area"] if "area" in d else
-                       d["bbox"][2] * d["bbox"][3]) < area_rng[0]
-                      or (d.get("area", d["bbox"][2] * d["bbox"][3]))
-                      > area_rng[1] for d in dts]).reshape(1, -1)
-        dt_ig = np.logical_or(dt_ig, np.logical_and(dtm == 0,
-                                                    np.repeat(a, T, 0)))
-        return {
-            "dt_matches": dtm,
-            "dt_scores": np.array([d["score"] for d in dts]),
-            "dt_ignore": dt_ig,
-            "gt_ignore": gt_ig,
-            "num_gt": int((gt_ig == 0).sum()),
-        }
+        Exact reference semantics (`cocoeval.py evaluateImg`): per det in
+        score order, best available non-ignored GT with IoU >= thr (last
+        of equals), else best ignored GT; crowd GTs stay claimable."""
+        p = self.p
+        thr0 = np.minimum(np.asarray(p.iou_thrs, np.float64), 1 - 1e-10)
+        T = len(thr0)
+        n, G = pk["n"], pk["G"]
+        maxD = pk["iou"].shape[1]
+        gt_ig = (pk["base_ig"] | (pk["gt_area"] < area_rng[0])
+                 | (pk["gt_area"] > area_rng[1])) | ~pk["gt_valid"]
+        gtm = np.zeros((n, T, G), bool)
+        dt_matched = np.zeros((n, T, maxD), bool)
+        dt_igm = np.zeros((n, T, maxD), bool)
+        crowd3 = pk["crowd"][:, None, :]
+        valid3 = pk["gt_valid"][:, None, :]
+        ig3 = gt_ig[:, None, :]
+        g_rev = np.arange(G)[::-1]
+        rows = np.arange(n)[:, None]
+        for d in range(maxD):
+            iou_d = pk["iou"][:, d, :][:, None, :]
+            avail = (~gtm | crowd3) & valid3
+            cand = np.where(avail, iou_d, -1.0)
+            nonig = np.where(~ig3, cand, -1.0)
+            igc = np.where(ig3, cand, -1.0)
+            b1 = nonig.max(-1)
+            m1 = G - 1 - np.argmax(nonig[:, :, g_rev], -1)
+            b2 = igc.max(-1)
+            m2 = G - 1 - np.argmax(igc[:, :, g_rev], -1)
+            use1 = b1 >= thr0[None, :]
+            use2 = ~use1 & (b2 >= thr0[None, :])
+            m = np.where(use1, m1, np.where(use2, m2, -1))
+            ok = (m >= 0) & pk["dt_valid"][:, d][:, None]
+            midx = np.maximum(m, 0)
+            hit = (np.arange(G)[None, None, :] == m[:, :, None]) \
+                & ok[:, :, None]
+            gtm |= hit
+            dt_matched[:, :, d] = ok
+            dt_igm[:, :, d] = ok & gt_ig[rows, midx]
+        dt_out = ((pk["dt_area"] < area_rng[0])
+                  | (pk["dt_area"] > area_rng[1]))
+        dt_igm |= ~dt_matched & dt_out[:, None, :]
+        num_gt = int((~gt_ig & pk["gt_valid"]).sum())
+        return dt_matched, dt_igm, num_gt
 
     # ------------------------------------------------------------- run
 
@@ -198,27 +235,27 @@ class COCOEval:
         scores = -np.ones((T, R, K, A, M))
 
         for k, cat in enumerate(self.cat_ids):
+            pk = self._pack_category(cat)
+            if pk is None:
+                continue
             for a, arng in enumerate(p.area_rng):
+                dt_matched, dt_igm, npig = self._match_category(pk, arng)
+                if npig == 0:
+                    continue
                 for m, max_det in enumerate(p.max_dets):
-                    evals = [self._evaluate_img(i, cat, arng, max_det,
-                                                self._ious[i, cat])
-                             for i in self.img_ids]
-                    evals = [e for e in evals if e is not None]
-                    if not evals:
-                        continue
-                    dt_scores = np.concatenate(
-                        [e["dt_scores"] for e in evals])
-                    order = np.argsort(-dt_scores, kind="mergesort")
-                    sorted_scores = dt_scores[order]
-                    dtm = np.concatenate(
-                        [e["dt_matches"] for e in evals], axis=1)[:, order]
-                    dt_ig = np.concatenate(
-                        [e["dt_ignore"] for e in evals], axis=1)[:, order]
-                    npig = sum(e["num_gt"] for e in evals)
-                    if npig == 0:
-                        continue
-                    tps = np.logical_and(dtm > 0, np.logical_not(dt_ig))
-                    fps = np.logical_and(dtm == 0, np.logical_not(dt_ig))
+                    sc = pk["dt_score"][:, :max_det].reshape(-1)
+                    vmask = pk["dt_valid"][:, :max_det].reshape(-1)
+                    dtm = dt_matched[:, :, :max_det].transpose(1, 0, 2) \
+                        .reshape(T, -1)[:, vmask]
+                    dt_ig = dt_igm[:, :, :max_det].transpose(1, 0, 2) \
+                        .reshape(T, -1)[:, vmask]
+                    sc = sc[vmask]
+                    order = np.argsort(-sc, kind="mergesort")
+                    sorted_scores = sc[order]
+                    dtm = dtm[:, order]
+                    dt_ig = dt_ig[:, order]
+                    tps = np.logical_and(dtm, np.logical_not(dt_ig))
+                    fps = np.logical_and(~dtm, np.logical_not(dt_ig))
                     tp_sum = np.cumsum(tps, axis=1).astype(np.float64)
                     fp_sum = np.cumsum(fps, axis=1).astype(np.float64)
                     for t in range(T):
@@ -228,15 +265,13 @@ class COCOEval:
                         recall[t, k, a, m] = rc[-1] if rc.size else 0
                         q = np.zeros(R)
                         ss = np.zeros(R)
-                        pr = pr.tolist()
-                        for i in range(len(pr) - 1, 0, -1):
-                            if pr[i] > pr[i - 1]:
-                                pr[i - 1] = pr[i]
+                        # monotone envelope (reference's backward fix-up
+                        # loop, vectorized)
+                        pr = np.maximum.accumulate(pr[::-1])[::-1]
                         inds = np.searchsorted(rc, p.rec_thrs, side="left")
-                        for ri, pi in enumerate(inds):
-                            if pi < len(pr):
-                                q[ri] = pr[pi]
-                                ss[ri] = sorted_scores[pi]
+                        inside = inds < len(pr)
+                        q[inside] = pr[inds[inside]]
+                        ss[inside] = sorted_scores[inds[inside]]
                         precision[t, :, k, a, m] = q
                         scores[t, :, k, a, m] = ss
         self.eval = {"precision": precision, "recall": recall,
