@@ -152,7 +152,7 @@ def aug_test_vote(aug_results: Sequence[Dict], metas: Sequence[Dict],
                   scale_ranges: Sequence[Tuple[float, float]], *,
                   task: str = "bbox", num_classes: int = 80,
                   max_keep: int = 1000, pose_min_area: float = 1024.0,
-                  vote_thresh: float = 0.66):
+                  vote_thresh: float = 0.66, use_device: bool = True):
     """Merge per-augmentation detections by per-class soft voting.
 
     Args:
@@ -187,17 +187,50 @@ def aug_test_vote(aug_results: Sequence[Dict], metas: Sequence[Dict],
     vectors = np.concatenate(all_vectors)
 
     out_b, out_v, out_s, out_l = [], [], [], []
-    for j in range(num_classes):
-        idx = np.flatnonzero(labels == j)
-        if idx.size == 0:
-            continue
-        bj, vj, sj = instances_vote(boxes[idx], vectors[idx], scores[idx],
-                                    vote_thresh)
-        if bj.shape[0]:
-            out_b.append(bj)
-            out_v.append(vj)
-            out_s.append(sj)
-            out_l.append(np.full(bj.shape[0], j, np.int64))
+    present = [j for j in range(num_classes)
+               if np.any(labels == j)] if labels.size else []
+    if use_device and present:
+        # one batched device call over the present classes
+        # (ops/vote.instances_vote_batch); numpy path is the oracle
+        import jax.numpy as jnp
+
+        from ..ops.vote import instances_vote_batch
+        nv2 = vectors.shape[1]
+        N = max(int(np.max([np.sum(labels == j) for j in present])), 2)
+        K = len(present)
+        pb = np.zeros((K, N, 4), np.float32)
+        pv = np.zeros((K, N, nv2), np.float32)
+        ps = np.zeros((K, N), np.float32)
+        pm = np.zeros((K, N), bool)
+        for kk, j in enumerate(present):
+            idx = np.flatnonzero(labels == j)
+            idx = idx[np.argsort(-scores[idx], kind="stable")]
+            pb[kk, :idx.size] = boxes[idx]
+            pv[kk, :idx.size] = vectors[idx]
+            ps[kk, :idx.size] = scores[idx]
+            pm[kk, :idx.size] = True
+        ob, ov, os_, ok = instances_vote_batch(
+            jnp.asarray(pb), jnp.asarray(pv), jnp.asarray(ps),
+            jnp.asarray(pm), vote_thresh=vote_thresh)
+        ob, ov = np.asarray(ob), np.asarray(ov)
+        os_, ok = np.asarray(os_), np.asarray(ok)
+        for kk, j in enumerate(present):
+            m = ok[kk]
+            if m.any():
+                out_b.append(ob[kk][m])
+                out_v.append(ov[kk][m])
+                out_s.append(os_[kk][m])
+                out_l.append(np.full(int(m.sum()), j, np.int64))
+    else:
+        for j in present:
+            idx = np.flatnonzero(labels == j)
+            bj, vj, sj = instances_vote(boxes[idx], vectors[idx],
+                                        scores[idx], vote_thresh)
+            if bj.shape[0]:
+                out_b.append(bj)
+                out_v.append(vj)
+                out_s.append(sj)
+                out_l.append(np.full(bj.shape[0], j, np.int64))
     if not out_b:
         nv2 = vectors.shape[1] if vectors.size else 8
         return dict(bboxes=np.zeros((0, 4)), scores=np.zeros(0),

@@ -76,3 +76,51 @@ def test_aug_test_vote_end_to_end():
     np.testing.assert_allclose(out["bboxes"][0], [10, 10, 30, 30],
                                atol=0.5)
     assert out["labels"][0] == 1
+
+
+def test_device_vote_parity():
+    """instances_vote_batch (XLA fixed-iteration) == numpy instances_vote."""
+    import jax.numpy as jnp
+
+    from lsnet_tpu.evalkit.tta import instances_vote
+    from lsnet_tpu.ops.vote import instances_vote_batch
+
+    rng = np.random.RandomState(7)
+    for n in (2, 7, 15):
+        base = rng.uniform(10, 80, (n, 2))
+        wh = rng.uniform(10, 40, (n, 2))
+        boxes = np.concatenate([base, base + wh], 1)
+        # force some clusters: duplicate a few boxes with jitter
+        boxes[1] = boxes[0] + rng.uniform(-2, 2, 4)
+        vectors = rng.randn(n, 8)
+        scores = rng.uniform(0.1, 1.0, n)
+        order = np.argsort(-scores, kind="stable")
+        boxes, vectors, scores = boxes[order], vectors[order], scores[order]
+        rb, rv, rs = instances_vote(boxes, vectors, scores)
+        ob, ov, osc, ok = instances_vote_batch(
+            jnp.asarray(boxes[None], jnp.float32),
+            jnp.asarray(vectors[None], jnp.float32),
+            jnp.asarray(scores[None], jnp.float32),
+            jnp.ones((1, n), bool))
+        m = np.asarray(ok[0])
+        got_s = np.asarray(osc[0])[m]
+        got_b = np.asarray(ob[0])[m]
+        got_v = np.asarray(ov[0])[m]
+        assert got_s.shape[0] == rs.shape[0]
+        np.testing.assert_allclose(np.sort(got_s), np.sort(rs), rtol=1e-5)
+        # compare rows matched by score order
+        ro = np.argsort(-rs, kind="stable")
+        go = np.argsort(-got_s, kind="stable")
+        np.testing.assert_allclose(got_b[go], rb[ro], rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(got_v[go], rv[ro], rtol=1e-4, atol=1e-3)
+
+
+def test_device_vote_single_det_empty():
+    import jax.numpy as jnp
+
+    from lsnet_tpu.ops.vote import instances_vote_batch
+    ob, ov, osc, ok = instances_vote_batch(
+        jnp.zeros((1, 4, 4)), jnp.zeros((1, 4, 8)),
+        jnp.asarray([[0.9, 0, 0, 0]]),
+        jnp.asarray([[True, False, False, False]]))
+    assert not np.asarray(ok).any()
