@@ -203,3 +203,60 @@ def load_pretrained_backbone(variables: Dict, torch_path: str) -> Dict:
     merge(new_vars["params"]["backbone"], params, "params/backbone")
     merge(new_vars["batch_stats"]["backbone"], stats, "stats/backbone")
     return jax.tree.map(jnp.asarray, new_vars)
+
+
+def convert_torch_neck(state_dict: Dict[str, Any]) -> Dict[str, Any]:
+    """torch FPN ``state_dict`` (mmdet `necks/fpn.py` naming) -> params
+    subtree for :class:`lsnet_tpu.models.necks.fpn.FPN`.
+
+    lateral_convs.{i} -> lateral_{i}; fpn_convs.{j<n_lat} -> fpn_{j};
+    fpn_convs.{j>=n_lat} -> extra_{j-n_lat} (the reference appends the
+    extra convs to fpn_convs, `fpn.py:104-117`); ConvModule norm (gn/bn)
+    -> our ConvModule 'norm' collection."""
+    params: Dict[str, Any] = {}
+
+    def put(path, leaf):
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = leaf
+
+    items = {}
+    for key, val in state_dict.items():
+        k = key[len("module."):] if key.startswith("module.") else key
+        if k.startswith("neck."):
+            k = k[len("neck."):]
+        elif any(s.startswith(("backbone.", "bbox_head.", "roi_head."))
+                 for s in (k,)):
+            continue
+        items[k] = val
+    n_lat = len({k.split(".")[1] for k in items
+                 if k.startswith("lateral_convs.")})
+    unconsumed = []
+    for key, val in items.items():
+        parts = key.split(".")
+        arr = _t2j(val) if hasattr(val, "detach") else np.asarray(val)
+        if parts[0] == "lateral_convs":
+            mod = f"lateral_{parts[1]}"
+        elif parts[0] == "fpn_convs":
+            j = int(parts[1])
+            mod = f"fpn_{j}" if j < n_lat else f"extra_{j - n_lat}"
+        else:
+            unconsumed.append(key)
+            continue
+        sub, leaf = parts[2], parts[3]
+        if sub == "conv" and leaf == "weight":
+            put([mod, "conv", "kernel"], jnp.asarray(arr.transpose(2, 3, 1, 0)))
+        elif sub == "conv" and leaf == "bias":
+            put([mod, "conv", "bias"], jnp.asarray(arr))
+        elif sub in ("gn", "bn") and leaf == "weight":
+            put([mod, "norm", "scale"], jnp.asarray(arr))
+        elif sub in ("gn", "bn") and leaf == "bias":
+            put([mod, "norm", "bias"], jnp.asarray(arr))
+        elif leaf == "num_batches_tracked":
+            continue
+        else:
+            unconsumed.append(key)
+    if unconsumed:
+        raise ValueError(f"neck keys not recognized: {sorted(unconsumed)[:10]}")
+    return params

@@ -208,3 +208,50 @@ def test_unify_polygon_matches_reference(tag):
     got = unify_polygon(comps, g[f"{tag}_bbox"], num_points=36)
     np.testing.assert_allclose(np.asarray(got).reshape(-1),
                                g[f"{tag}_unified"], rtol=1e-6, atol=1e-6)
+
+
+def test_backbone_fpn_forward_parity():
+    """Full ResNet-50 + FPN forward vs the reference torch modules
+    (fixture from tools/gen_golden.py gen_backbone): the seeded torch
+    state dict rides through the converter
+    (train/checkpoint.py convert_torch_backbone/convert_torch_neck) and
+    the flax activations must match every stage and FPN level."""
+    import jax
+    from lsnet_tpu.models.backbones.resnet import ResNet
+    from lsnet_tpu.models.necks.fpn import FPN
+    from lsnet_tpu.train.checkpoint import (convert_torch_backbone,
+                                            convert_torch_neck)
+
+    g = _load("backbone_fwd.npz")
+    sd = {k[4:]: g[k] for k in g.files if k.startswith("sd::")}
+    bb_params, bb_stats = convert_torch_backbone(
+        {k: v for k, v in sd.items() if k.startswith("backbone.")})
+    neck_params = convert_torch_neck(
+        {k: v for k, v in sd.items() if k.startswith("neck.")})
+
+    image = jnp.asarray(g["image"])
+    bb = ResNet(depth=50, num_stages=4, out_indices=(0, 1, 2, 3),
+                frozen_stages=-1)
+    init_vars = bb.init(jax.random.PRNGKey(0), image)
+    # structural check: converted tree covers the init tree exactly
+    init_shapes = jax.tree.map(lambda x: x.shape, init_vars["params"])
+    conv_shapes = jax.tree.map(lambda x: x.shape, bb_params)
+    assert init_shapes == conv_shapes
+    feats = bb.apply({"params": bb_params, "batch_stats": bb_stats}, image)
+    for i in range(4):
+        ref = np.asarray(g[f"c{i}"])
+        got = np.asarray(feats[i])
+        scale = max(np.abs(ref).max(), 1e-6)
+        assert np.abs(got - ref).max() / scale < 1e-4, f"stage {i}"
+
+    neck = FPN(out_channels=64, start_level=1, add_extra_convs="on_input",
+               num_outs=5, norm_cfg=dict(type="GN", num_groups=32))
+    init_neck = neck.init(jax.random.PRNGKey(0), feats)
+    assert (jax.tree.map(lambda x: x.shape, init_neck["params"])
+            == jax.tree.map(lambda x: x.shape, neck_params))
+    outs = neck.apply({"params": neck_params}, feats)
+    for i in range(5):
+        ref = np.asarray(g[f"p{i}"])
+        got = np.asarray(outs[i])
+        scale = max(np.abs(ref).max(), 1e-6)
+        assert np.abs(got - ref).max() / scale < 1e-4, f"level {i}"

@@ -525,6 +525,131 @@ def gen_polygons(out):
     print("polygons.npz written")
 
 
+
+
+# ----------------------------------------------------- backbone fwd parity
+
+def load_backbone_classes():
+    """Load the reference ResNet/ResNeXt + FPN as RUNNABLE torch modules:
+    torch is real; only the mmcv layer factories are backed by minimal
+    real implementations (Conv2d / BatchNorm2d / GroupNorm), so the
+    forward math is 100% reference code."""
+    import torch
+    import torch.nn as nn
+
+    def build_conv_layer(cfg, *args, **kwargs):
+        return nn.Conv2d(*args, **kwargs)
+
+    def build_norm_layer(cfg, num_features, postfix=""):
+        cfg = cfg or dict(type="BN")
+        if cfg.get("type") == "GN":
+            name = f"gn{postfix}" if postfix else "gn"
+            return name, nn.GroupNorm(cfg["num_groups"], num_features)
+        name = f"bn{postfix}" if postfix else "bn"
+        return name, nn.BatchNorm2d(num_features)
+
+    class ConvModule(nn.Module):
+        """mmcv ConvModule subset used by FPN: conv (+norm) (+act)."""
+
+        def __init__(self, in_ch, out_ch, k, stride=1, padding=0,
+                     conv_cfg=None, norm_cfg=None, act_cfg=None, **kw):
+            super().__init__()
+            self.conv = nn.Conv2d(in_ch, out_ch, k, stride, padding,
+                                  bias=norm_cfg is None)
+            self.with_norm = norm_cfg is not None
+            if self.with_norm:
+                name, norm = build_norm_layer(norm_cfg, out_ch)
+                self.norm_name = name
+                self.add_module(name, norm)
+            self.with_act = act_cfg is not None
+
+        def forward(self, x):
+            x = self.conv(x)
+            if self.with_norm:
+                x = getattr(self, self.norm_name)(x)
+            if self.with_act:
+                x = torch.relu(x)
+            return x
+
+    _mk_module("mmcv")
+    _mk_module("mmcv.cnn",
+               build_conv_layer=build_conv_layer,
+               build_norm_layer=build_norm_layer,
+               ConvModule=ConvModule,
+               constant_init=lambda *a, **k: None,
+               kaiming_init=lambda *a, **k: None,
+               xavier_init=lambda *a, **k: None)
+    _mk_module("mmcv.runner", load_checkpoint=lambda *a, **k: None)
+    _mk_module("mmdet")
+    _mk_module("mmdet.ops", build_plugin_layer=lambda *a, **k: ("p", None))
+    _mk_module("mmdet.utils", get_root_logger=lambda *a, **k: None)
+    _mk_module("mmdet.core", auto_fp16=lambda *a, **k: (lambda f: f))
+    pkg = _mk_module("refmodels")
+    pkg.__path__ = []
+    _mk_module("refmodels.builder", BACKBONES=_Registry(),
+               NECKS=_Registry())
+    res_layer = _load(f"{REF}/mmdet/models/utils/res_layer.py",
+                      "refmodels.utils_res_layer")
+    sub = _mk_module("refmodels.utils")
+    sub.__path__ = []
+    sys.modules["refmodels.utils"].ResLayer = res_layer.ResLayer
+    bbpkg = _mk_module("refmodels.backbones")
+    bbpkg.__path__ = []
+    nkpkg = _mk_module("refmodels.necks")
+    nkpkg.__path__ = []
+    resnet = _load(f"{REF}/mmdet/models/backbones/resnet.py",
+                   "refmodels.backbones.resnet",
+                   package="refmodels.backbones")
+    resnext = _load(f"{REF}/mmdet/models/backbones/resnext.py",
+                    "refmodels.backbones.resnext",
+                    package="refmodels.backbones")
+    fpn = _load(f"{REF}/mmdet/models/necks/fpn.py",
+                "refmodels.necks.fpn", package="refmodels.necks")
+    return resnet.ResNet, resnext.ResNeXt, fpn.FPN
+
+
+def gen_backbone(out):
+    """Seeded torch ResNet-50 + FPN forward -> feature-map fixtures + the
+    full state dict (tests convert it through train/checkpoint.py and
+    compare our flax backbone+FPN activations)."""
+    import torch
+    ResNet, ResNeXt, FPN = load_backbone_classes()
+    torch.manual_seed(0)
+    bb = ResNet(depth=50, num_stages=4, out_indices=(0, 1, 2, 3),
+                frozen_stages=-1, norm_eval=True)
+    neck = FPN(in_channels=[256, 512, 1024, 2048], out_channels=64,
+               start_level=1, add_extra_convs="on_input", num_outs=5,
+               norm_cfg=dict(type="GN", num_groups=32))
+    rng = np.random.RandomState(3)
+    with torch.no_grad():
+        model = torch.nn.ModuleDict({"backbone": bb, "neck": neck})
+        for name, p in sorted(model.named_parameters()):
+            p.copy_(torch.tensor(
+                rng.randn(*p.shape).astype(np.float32) * 0.05))
+        for name, b in sorted(model.named_buffers()):
+            if name.endswith("running_mean"):
+                b.copy_(torch.tensor(
+                    rng.randn(*b.shape).astype(np.float32) * 0.1))
+            elif name.endswith("running_var"):
+                b.copy_(torch.tensor(
+                    rng.uniform(0.5, 1.5, b.shape).astype(np.float32)))
+        model.eval()
+        x = torch.tensor(rng.randn(1, 3, 64, 96).astype(np.float32))
+        feats = bb(x)
+        fpn_outs = neck(list(feats))
+    data = {"image": x.numpy().transpose(0, 2, 3, 1)}
+    for i, f in enumerate(feats):
+        data[f"c{i}"] = f.numpy().transpose(0, 2, 3, 1)
+    for i, f in enumerate(fpn_outs):
+        data[f"p{i}"] = f.numpy().transpose(0, 2, 3, 1)
+    sd = {f"backbone.{k}": v.numpy() for k, v in bb.state_dict().items()}
+    sd.update({f"neck.{k}": v.numpy() for k, v in neck.state_dict().items()})
+    for k, v in sd.items():
+        data[f"sd::{k}"] = v
+    np.savez_compressed(os.path.join(out, "backbone_fwd.npz"), **data)
+    print("backbone_fwd.npz written")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="tests/golden")
@@ -534,6 +659,7 @@ def main():
     gen_head_encode(args.out)
     gen_assigners(args.out)
     gen_polygons(args.out)
+    gen_backbone(args.out)
     print("golden fixtures written to", args.out)
 
 
