@@ -86,6 +86,13 @@ def build_backbone(cfg: Dict[str, Any]):
         return SSDVGG(**cfg)
     if kind == "ResNeXt":
         return ResNet(block_type="resnext", **cfg)
+    if kind in ("DetectoRS_ResNeXt", "DetectoRSResNeXt"):
+        # groups variant of the DetectoRS backbone
+        # (reference backbones/detectors_resnext.py)
+        cfg.pop("conv_cfg", None)
+        cfg.pop("output_img", None)
+        cfg.pop("rfp_inplanes", None)
+        return ResNet(block_type="resnext", **cfg)
     if kind == "Res2Net":
         cfg.setdefault("base_width", 26)
         cfg.setdefault("deep_stem", True)   # res2net101_v1d pretrain layout

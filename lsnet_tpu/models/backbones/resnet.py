@@ -101,7 +101,8 @@ class Bottleneck(nn.Module):
         elif self.use_sac:
             from ..layers import SAConv
             out = SAConv(width, 3, stride=self.stride,
-                         dilation=self.dilation, name="conv2")(out)
+                         dilation=self.dilation, groups=self.groups,
+                         name="conv2")(out)
         elif self.groups > 1:
             # measured-policy grouped conv (dense block-diag at small
             # per-group widths — see layers.GroupedConv)

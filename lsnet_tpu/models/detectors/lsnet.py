@@ -24,6 +24,16 @@ class LSDetector(nn.Module):
     head: nn.Module
 
     def __call__(self, images: Array) -> Dict[str, List[Array]]:
+        from ...parallel.mesh import maybe_constrain
+
+        # under a dp x sp mesh, the backbone/neck convs run spatially
+        # sharded (GSPMD halo exchange); the head's flat multi-level gather
+        # mixes H into the row index, so its maps are EXPLICITLY gathered
+        # to model-replicated here — one resharding instead of GSPMD
+        # involuntary full remats on every head reshape
+        images = maybe_constrain(images, "data", "model")
         feats = self.backbone(images)
+        feats = [maybe_constrain(f, "data", "model") for f in feats]
         feats = self.neck(feats)
+        feats = [maybe_constrain(f, "data") for f in feats]
         return self.head(feats)

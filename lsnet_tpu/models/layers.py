@@ -311,13 +311,15 @@ class SAConv(nn.Module):
     kernel_size: int = 3
     stride: int = 1
     dilation: int = 1
+    groups: int = 1              # DetectoRS-ResNeXt (detectors_resnext.py)
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
         cin = x.shape[-1]
         k = self.kernel_size
         weight = self.param("weight", kaiming_init,
-                            (k, k, cin, self.out_channels), jnp.float32)
+                            (k, k, cin // self.groups, self.out_channels),
+                            jnp.float32)
         # AWS: standardize over (k, k, cin) per output channel with learned
         # affine (gamma init 1, beta init 0)
         gamma = self.param("aws_gamma", nn.initializers.ones,
@@ -328,7 +330,8 @@ class SAConv(nn.Module):
         std = weight.std(axis=(0, 1, 2), keepdims=True) + 1e-5
         w_std = gamma * (weight - mean) / std + beta
         weight_diff = self.param("weight_diff", nn.initializers.zeros,
-                                 (k, k, cin, self.out_channels), jnp.float32)
+                                 (k, k, cin // self.groups,
+                                  self.out_channels), jnp.float32)
 
         # pre-context: global avg -> 1x1 (zero-init) added back
         gap = jnp.mean(x, axis=(1, 2), keepdims=True)
@@ -348,6 +351,7 @@ class SAConv(nn.Module):
             return jax.lax.conv_general_dilated(
                 x, w.astype(x.dtype), (self.stride, self.stride),
                 [(pad, pad), (pad, pad)], rhs_dilation=(dil, dil),
+                feature_group_count=self.groups,
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
         out_s = conv_with(w_std, self.dilation)

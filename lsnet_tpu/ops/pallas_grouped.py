@@ -25,6 +25,7 @@ px-accumulating kernel (dweight); both parity-tested vs the dense path
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,8 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-# flag: use the Pallas path inside the flat-deform engine (grouped convs)
-ENABLED = [True]
+# flag: use the Pallas path inside the flat-deform engine (grouped convs);
+# override with LSNET_PALLAS_GROUPED=0
+ENABLED = [os.environ.get("LSNET_PALLAS_GROUPED", "1") != "0"]
 
 
 def _interpret() -> bool:
@@ -75,12 +77,16 @@ def _block_weight(weight: Array, K: int, groups: int, sub: int) -> Array:
     return wd.reshape(nb, K * sub * Cg, sub * outG)
 
 
-def _pick_tpx(px: int, row_elems: int, budget: int = 3_000_000) -> int:
-    """Pixel-tile size: keep the double-buffered row block in budget."""
+def _pick_tpx(px: int, row_bytes: int, fixed_bytes: int = 0,
+              budget: int = 13_000_000) -> int:
+    """Pixel-tile size: largest tile whose double-buffered row block plus
+    the resident weight block fits the VMEM budget. Small tiles waste MXU
+    rows (a 64-px tile runs half-empty 128-row passes — measured 2.85 ms
+    vs 3.35 dense at stage3 with tpx=64; bigger tiles close the gap)."""
     t = 512
-    while t > 8 and t * row_elems * 2 > budget:
+    while t > 16 and 2 * t * row_bytes + fixed_bytes > budget:
         t //= 2
-    return max(8, min(t, 512))
+    return max(16, min(t, 512))
 
 
 def _make_fwd_kernel(K, C, nb, subCg, subout):
@@ -164,7 +170,8 @@ def _dims(weight, K, groups):
 def _gdc_fwd(vals, weight, K, groups):
     C, nb, sub, subCg, subout = _dims(weight, K, groups)
     px = vals.shape[0]
-    tpx = _pick_tpx(px, K * C * vals.dtype.itemsize)
+    wbytes = nb * K * subCg * subout * vals.dtype.itemsize
+    tpx = _pick_tpx(px, K * C * vals.dtype.itemsize, wbytes)
     wblk = _block_weight(weight, K, groups, sub).astype(vals.dtype)
     out = pl.pallas_call(
         _make_fwd_kernel(K, C, nb, subCg, subout),
@@ -190,7 +197,8 @@ def _gdc_bwd(K, groups, res, dout):
     cout = weight.shape[-1]
     outG = cout // groups
     px = vals.shape[0]
-    tpx = _pick_tpx(px, K * C * vals.dtype.itemsize)
+    wbytes = nb * K * subCg * subout * vals.dtype.itemsize
+    tpx = _pick_tpx(px, K * C * vals.dtype.itemsize, wbytes)
     wblk = _block_weight(weight, K, groups, sub).astype(vals.dtype)
     dout = dout.astype(vals.dtype)
 

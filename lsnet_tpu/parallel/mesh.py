@@ -116,3 +116,43 @@ def run_spatially_sharded(fn, mesh: Mesh, images, *args):
 
     sharded = jax.device_put(images, spatial_sharding(mesh))
     return jax.jit(fn)(sharded, *args)
+
+
+def maybe_constrain(x, *spec):
+    """``with_sharding_constraint`` iff tracing under a mesh whose axes
+    cover ``spec`` (no-op single-chip / unmeshed).
+
+    Used to make the dp x sp resharding EXPLICIT at the neck/head boundary:
+    the head's flat multi-level gather mixes H into the row index, which
+    GSPMD otherwise handles with involuntary full rematerialization on
+    every reshape (MULTICHIP_r02 tail). One constrained all-gather of the
+    (small) FPN maps replaces those."""
+    mesh = None
+    try:
+        m = jax.sharding.get_abstract_mesh()
+        if m is not None and m.axis_names:
+            mesh = m
+    except Exception:
+        pass
+    if mesh is None:
+        try:        # legacy `with mesh:` context (train step, dryrun)
+            from jax._src.mesh import thread_resources
+            pm = thread_resources.env.physical_mesh
+            if pm is not None and not pm.empty:
+                mesh = pm
+        except Exception:
+            pass
+    if mesh is None:
+        return x
+    names = set(mesh.axis_names)
+    if any(s is not None and s not in names for s in spec):
+        return x
+    sizes = dict(zip(mesh.axis_names, mesh.shape.values()
+                     if hasattr(mesh, "shape") else mesh.axis_sizes))
+    if all(sizes.get(s, 1) == 1 for s in spec if s is not None):
+        return x
+    from jax.sharding import NamedSharding, PartitionSpec
+    ps = PartitionSpec(*spec)
+    if hasattr(mesh, "devices"):            # concrete Mesh
+        return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, ps))
+    return jax.lax.with_sharding_constraint(x, ps)

@@ -1,17 +1,19 @@
 #!/usr/bin/env python
 """Short-schedule accuracy run on a procedural shapes dataset.
 
-VERDICT r1 item 6: produce actual AP evidence — train LSNet (bbox task) for
-a fixed small budget on a non-trivial synthetic detection set and report
-COCO AP + the loss curve. The dataset is procedurally generated (3 shape
-classes on textured backgrounds, variable counts/sizes/aspect), so the run
-is fully reproducible in this sandbox; the training recipe is the reference
-one (SGD + warmup + step decay + grad-clip 35,
-`code/configs/lsnet/lsnet_bbox_r50_fpn_1x_coco.py:58-66`) scaled down.
+VERDICT r1 item 6 / r2 item 5b: produce actual AP evidence for EVERY task
+family — train LSNet (bbox / segm / pose) and LSNet-CPV for a fixed small
+budget on a non-trivial synthetic set and report COCO AP (bbox / segm /
+OKS keypoints) + the loss curve. The dataset is procedurally generated
+(3 shape classes with analytic contour polygons and contour keypoints on
+textured backgrounds), so the run is fully reproducible in this sandbox;
+the training recipe is the reference one (SGD + warmup + step decay +
+grad-clip 35, `code/configs/lsnet/lsnet_bbox_r50_fpn_1x_coco.py:58-66`)
+scaled down.
 
-Usage: python tools/accuracy_run.py [--out work/accuracy_r2]
-                                    [--epochs 12] [--train 160] [--val 40]
-Writes <out>/result.json with {"bbox_mAP": ..., "losses": [...]}.
+Usage: python tools/accuracy_run.py [--task bbox|segm|pose|cpv]
+           [--out work/accuracy_r3_<task>] [--epochs 12] [--train 160]
+Writes <out>/result.json with {"metrics": ..., "losses": [...]}.
 """
 
 import argparse
@@ -26,31 +28,50 @@ import numpy as np
 IMG_H, IMG_W = 128, 160
 
 
-def _draw_shape(arr, cls, rng):
+def _shape_polygon(cls, sw, sh, x1, y1):
+    """Analytic contour polygon (clockwise, image coords) for one shape."""
+    if cls == 0:      # rectangle
+        pts = [(0, 0), (sw, 0), (sw, sh), (0, sh)]
+    elif cls == 1:    # ellipse (24-point contour)
+        t = np.linspace(0, 2 * np.pi, 24, endpoint=False)
+        pts = [((1 + np.cos(a)) * sw / 2, (1 + np.sin(a)) * sh / 2)
+               for a in t]
+    else:             # triangle
+        pts = [(sw, 0), (sw, sh), (0, sh)]
+    return [(float(x1 + px), float(y1 + py)) for px, py in pts]
+
+
+def _draw_shape(arr, cls, rng, want_kps=False):
+    from PIL import Image, ImageDraw
     h, w = arr.shape[:2]
     sw = rng.randint(18, 56)
     sh = rng.randint(18, 56)
     x1 = rng.randint(0, w - sw)
     y1 = rng.randint(0, h - sh)
-    color = rng.randint(100, 255, 3)
-    yy, xx = np.mgrid[0:sh, 0:sw]
-    if cls == 0:      # rectangle
-        mask = np.ones((sh, sw), bool)
-    elif cls == 1:    # ellipse
-        cy, cx = (sh - 1) / 2, (sw - 1) / 2
-        mask = ((yy - cy) / (sh / 2)) ** 2 + ((xx - cx) / (sw / 2)) ** 2 <= 1
-    else:             # triangle
-        mask = (xx / sw + (sh - 1 - yy) / sh) >= 1
-    region = arr[y1:y1 + sh, x1:x1 + sw]
-    region[mask] = color
-    ys, xs = np.nonzero(mask)
-    bx1, by1 = x1 + xs.min(), y1 + ys.min()
-    bx2, by2 = x1 + xs.max() + 1, y1 + ys.max() + 1
-    # polygon = the mask outline's bbox rectangle is enough for extreme pts
-    return [float(bx1), float(by1), float(bx2 - bx1), float(by2 - by1)]
+    color = tuple(int(c) for c in rng.randint(100, 255, 3))
+    poly = _shape_polygon(cls, sw, sh, x1, y1)
+    im = Image.fromarray(arr)
+    ImageDraw.Draw(im).polygon(poly, fill=color)
+    arr[:] = np.asarray(im)
+    xs = [p[0] for p in poly]
+    ys = [p[1] for p in poly]
+    bx1, by1, bx2, by2 = min(xs), min(ys), max(xs), max(ys)
+    bbox = [float(bx1), float(by1), float(bx2 - bx1), float(by2 - by1)]
+    seg = [float(v) for p in poly for v in p]
+    kps = None
+    if want_kps:
+        # 17 "keypoints": center + 16 contour samples, all visible
+        cx, cy = (bx1 + bx2) / 2, (by1 + by2) / 2
+        contour = np.asarray(poly)
+        idx = (np.arange(16) * len(poly)) // 16
+        pts = [(cx, cy)] + [tuple(contour[i]) for i in idx]
+        kps = []
+        for px, py in pts:
+            kps += [float(px), float(py), 2]
+    return bbox, seg, kps
 
 
-def make_shapes_coco(root, n_images, seed):
+def make_shapes_coco(root, n_images, seed, pose=False):
     from PIL import Image
     img_dir = os.path.join(root, "imgs")
     os.makedirs(img_dir, exist_ok=True)
@@ -62,59 +83,84 @@ def make_shapes_coco(root, n_images, seed):
         n_obj = rng.randint(1, 5)
         for _ in range(n_obj):
             cls = rng.randint(0, 3)
-            x, y, w, h = _draw_shape(arr, cls, rng)
-            annotations.append(dict(
-                id=aid, image_id=i, category_id=cls + 1,
-                bbox=[x, y, w, h], area=w * h, iscrowd=0,
-                segmentation=[[x, y, x + w, y, x + w, y + h, x, y + h]]))
+            bbox, seg, kps = _draw_shape(arr, cls, rng,
+                                         want_kps=pose)
+            ann = dict(
+                id=aid, image_id=i,
+                category_id=1 if pose else cls + 1,
+                bbox=bbox, area=bbox[2] * bbox[3], iscrowd=0,
+                segmentation=[seg])
+            if pose:
+                ann["keypoints"] = kps
+                ann["num_keypoints"] = 17
+            annotations.append(ann)
             aid += 1
         Image.fromarray(arr).save(os.path.join(img_dir, f"{i:04d}.png"))
         images.append(dict(id=i, file_name=f"{i:04d}.png",
                            width=IMG_W, height=IMG_H))
     ann_file = os.path.join(root, "ann.json")
     with open(ann_file, "w") as f:
+        cats = ([dict(id=1, name="person")] if pose else
+                [dict(id=c + 1, name=n) for c, n in
+                 enumerate(("rect", "ellipse", "triangle"))])
         json.dump(dict(images=images, annotations=annotations,
-                       categories=[dict(id=c + 1, name=n) for c, n in
-                                   enumerate(("rect", "ellipse",
-                                              "triangle"))]), f)
+                       categories=cats), f)
     return ann_file, img_dir
+
+
+TASK_HEADS = {
+    "bbox": dict(type="LSHead", task="bbox", num_vectors=4, num_classes=3),
+    "segm": dict(type="LSHead", task="segm", num_vectors=36, num_classes=3),
+    "pose": dict(type="LSHead", task="pose_bbox", num_vectors=17,
+                 num_classes=1),
+    "cpv": dict(type="LSCPVHead", num_classes=3, num_points=9,
+                shared_stacked_convs=1, corner_dim=16),
+}
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="work/accuracy_r2")
+    ap.add_argument("--task", default="bbox",
+                    choices=["bbox", "segm", "pose", "cpv"])
+    ap.add_argument("--out", default=None)
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--train", type=int, default=160)
     ap.add_argument("--val", type=int, default=40)
     ap.add_argument("--batch", type=int, default=8)
     args = ap.parse_args()
+    if args.out is None:
+        args.out = f"work/accuracy_r3_{args.task}"
 
     os.makedirs(args.out, exist_ok=True)
+    pose = args.task == "pose"
     train_ann, train_dir = make_shapes_coco(
-        os.path.join(args.out, "data_train"), args.train, seed=0)
+        os.path.join(args.out, "data_train"), args.train, seed=0, pose=pose)
     val_ann, val_dir = make_shapes_coco(
-        os.path.join(args.out, "data_val"), args.val, seed=1)
+        os.path.join(args.out, "data_val"), args.val, seed=1, pose=pose)
 
     from lsnet_tpu.train.loop import evaluate_detector, train_detector
     from lsnet_tpu.utils.config import Config
 
     cfg = Config(dict(
         model=dict(
-            type="LSDetector",
+            type="LSCPVDetector" if args.task == "cpv" else "LSDetector",
             backbone=dict(type="ResNet", depth=18, num_stages=4,
                           out_indices=(0, 1, 2, 3), frozen_stages=-1),
             neck=dict(type="FPN", out_channels=64, start_level=1,
                       add_extra_convs="on_input", num_outs=5,
                       norm_cfg=dict(type="GN", num_groups=16)),
-            bbox_head=dict(type="LSHead", task="bbox", num_vectors=4,
-                           num_classes=3, in_channels=64, feat_channels=64,
+            bbox_head=dict(in_channels=64, feat_channels=64,
                            point_feat_channels=64, stacked_convs=2,
                            norm_cfg=dict(type="GN", num_groups=16),
-                           conv_module_type="norm")),
+                           conv_module_type="norm",
+                           **TASK_HEADS[args.task])),
         train_cfg=dict(
             init=dict(assigner=dict(type="CentroidAssigner", scale=4,
                                     pos_num=1, iou_type="center")),
-            refine=dict(assigner=dict(type="ATSSAssigner", topk=9))),
+            refine=dict(assigner=dict(type="ATSSAssigner", topk=9)),
+            heatmap=dict(assigner=dict(type="PointHMAssigner",
+                                       gaussian_bump=True,
+                                       gaussian_iou=0.7))),
         test_cfg=dict(nms_pre=500, score_thr=0.05,
                       nms=dict(type="nms", iou_thr=0.6), max_per_img=50),
         data=dict(samples_per_gpu=args.batch,
