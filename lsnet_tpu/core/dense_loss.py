@@ -263,8 +263,8 @@ def dense_loss(outs, batch, cfg: DenseLossConfig):
     """Dispatch by head kind (the generic ``lsnet_loss`` counterpart)."""
     return {"retina": retina_loss, "fcos": fcos_loss,
             "atss": atss_loss, "gfl": gfl_loss, "ssd": ssd_loss,
-            "fovea": fovea_loss, "fsaf": fsaf_loss}[cfg.head](outs, batch,
-                                                              cfg)
+            "fovea": fovea_loss, "fsaf": fsaf_loss,
+            "free_anchor": free_anchor_loss}[cfg.head](outs, batch, cfg)
 
 
 # ------------------------------------------------------------------- GFL ---
@@ -603,4 +603,77 @@ def fsaf_loss(outs: Dict[str, Sequence[Array]], batch: Dict[str, Array],
                               batch["gt_valid"], batch["gt_labels"])
     losses = {"loss_cls": lc.mean() * cfg.cls_weight,
               "loss_bbox": lb.mean() * cfg.bbox_weight}
+    return sum(losses.values()), losses
+
+
+# ----------------------------------------------------------- FreeAnchor ---
+
+def free_anchor_loss(outs: Dict[str, Sequence[Array]],
+                     batch: Dict[str, Array], cfg: DenseLossConfig,
+                     pre_anchor_topk: int = 50, bbox_thr: float = 0.6,
+                     gamma: float = 2.0, alpha: float = 0.5,
+                     smooth_beta: float = 0.11, bbox_w: float = 0.75):
+    """FreeAnchor learning-to-match loss (reference
+    `free_anchor_retina_head.py:51-265`): per-GT top-k anchor bags with
+    mean-max positive likelihood, saturated-IoU anchor->object probability
+    and a focal negative bag term. Vectorized over padded GT; the
+    per-class anchor probability uses a scatter-max over GT labels instead
+    of the reference's sparse-tensor dance."""
+    anchors_np, _ = grid_anchors(cfg.anchor, cfg.image_shape)
+    anchors = jnp.asarray(anchors_np)
+    C = cfg.num_classes
+    cls = _flatten(outs["cls"], C).astype(jnp.float32)
+    reg = _flatten(outs["reg"], 4).astype(jnp.float32)
+    from .assign import box_iou
+
+    def single(cls_i, reg_i, gt_bboxes, gt_valid, gt_labels):
+        cls_prob = jax.nn.sigmoid(cls_i)                     # (N, C)
+        gvf = gt_valid.astype(jnp.float32)
+        # anchor -> object probability (no grad, ref torch.no_grad block)
+        pred_boxes = jax.lax.stop_gradient(
+            delta2bbox(anchors, reg_i, stds=cfg.target_stds))
+        iou_gp = box_iou(gt_bboxes, pred_boxes) * gvf[:, None]   # (M, N)
+        t2 = jnp.clip(iou_gp.max(axis=1, keepdims=True), bbox_thr + 1e-12)
+        obp = jnp.clip((iou_gp - bbox_thr) / (t2 - bbox_thr), 0.0, 1.0)
+        obp = obp * gvf[:, None]
+        # per-class max over same-label gts: scatter-max into (C+1, N)
+        ibp = jnp.zeros((C + 1, obp.shape[1]), obp.dtype).at[
+            jnp.where(gt_valid, gt_labels, C)].max(obp)[:C].T    # (N, C)
+
+        # bags: top-k anchors per gt by ANCHOR IoU
+        iou_ga = box_iou(gt_bboxes, anchors) * gvf[:, None]
+        _, matched = jax.lax.top_k(iou_ga, pre_anchor_topk)      # (M, K)
+        m_cls = jnp.take_along_axis(
+            cls_prob[matched],                                   # (M, K, C)
+            jnp.clip(gt_labels, 0, C - 1)[:, None, None], axis=2)[..., 0]
+        m_anchors = anchors[matched]                             # (M, K, 4)
+        # padded zero-size gts would put log(0)=-inf into the deltas and
+        # NaN the smooth-l1 branch gradients (where-trap); substitute the
+        # anchor itself (zero delta) — those bags carry zero weight
+        safe_gt = jnp.where(gt_valid[:, None], gt_bboxes,
+                            jnp.asarray([0.0, 0.0, 1.0, 1.0]))
+        tgt = bbox2delta(m_anchors.reshape(-1, 4),
+                         jnp.repeat(safe_gt, pre_anchor_topk, axis=0),
+                         stds=cfg.target_stds).reshape(m_anchors.shape)
+        d = jnp.abs(reg_i[matched] - tgt)
+        sl1 = jnp.where(d < smooth_beta, 0.5 * d * d / smooth_beta,
+                        d - 0.5 * smooth_beta).sum(-1) * bbox_w  # (M, K)
+        m_prob = m_cls * jnp.exp(-sl1)
+        w = 1.0 / jnp.clip(1.0 - m_prob, 1e-12)
+        w = w / w.sum(axis=1, keepdims=True)
+        bag_prob = jnp.clip((w * m_prob).sum(axis=1), 1e-12, 1.0)
+        pos = alpha * (-jnp.log(bag_prob)) * gvf                 # (M,)
+        n_pos = jnp.sum(gvf)
+
+        nprob = jnp.clip(cls_prob * (1.0 - ibp), 0.0, 1.0 - 1e-12)
+        neg = (1 - alpha) * (nprob ** gamma) * (-jnp.log1p(-nprob))
+        return pos.sum(), neg.sum(), n_pos
+
+    lp, ln, np_ = jax.vmap(single)(cls, reg, batch["gt_bboxes"],
+                                   batch["gt_valid"], batch["gt_labels"])
+    num_pos = jnp.maximum(jnp.sum(np_), 1.0)
+    losses = {
+        "positive_bag_loss": jnp.sum(lp) / num_pos,
+        "negative_bag_loss": jnp.sum(ln) / (num_pos * pre_anchor_topk),
+    }
     return sum(losses.values()), losses

@@ -151,6 +151,11 @@ def build_neck(cfg):
         from .necks.extra import NASFPN
         cfg.pop("add_extra_convs", None)
         return NASFPN(**cfg)
+    if kind in ("NASFCOS_FPN", "NASFCOSFPN"):
+        from .necks.extra import NASFCOSFPN
+        cfg.pop("add_extra_convs", None)
+        cfg.pop("conv_cfg", None)
+        return NASFCOSFPN(**cfg)
     if kind == "HRFPN":
         from .necks.extra import HRFPN
         return HRFPN(**cfg)
@@ -193,6 +198,13 @@ def build_head(cfg: Dict[str, Any]):
         if "point_strides" in cfg:
             cfg["point_strides"] = tuple(cfg["point_strides"])
         return RepPointsHead(**cfg), loss_cfgs
+    if kind == "FreeAnchorRetinaHead":
+        # RetinaHead module with GN towers; the FreeAnchor bag loss lives
+        # in core.dense_loss.free_anchor_loss
+        for k in ("anchor_generator", "bbox_coder", "train_cfg", "test_cfg",
+                  "pre_anchor_topk", "bbox_thr", "gamma", "alpha"):
+            cfg.pop(k, None)
+        return RetinaHead(**cfg), loss_cfgs
     if kind in ("RetinaHead", "FCOSHead", "ATSSHead", "GFLHead", "SSDHead",
                 "FoveaHead", "FSAFHead"):
         # assigner/coder/anchor settings live in the loss config, not the
@@ -286,7 +298,7 @@ def build_detector(cfg: Dict[str, Any]):
     head, loss_cfgs = build_head(cfg.pop("bbox_head"))
     if kind in ("LSDetector", "LSCPVDetector", "RetinaNet", "FCOS",
                 "ATSS", "GFL", "RepPointsDetector", "SingleStageDetector",
-                "SSD", "FOVEA", "FoveaBox", "FSAF"):
+                "SSD", "FOVEA", "FoveaBox", "FSAF", "FreeAnchor"):
         # all single-stage: backbone -> neck -> head assembly
         return LSDetector(backbone=backbone, neck=neck, head=head), loss_cfgs
     det_cls = DETECTORS.get(kind)

@@ -50,7 +50,8 @@ class _Tower(nn.Module):
 
 
 class RetinaHead(nn.Module):
-    """Anchor-based focal-loss head (A = 9 anchors/cell)."""
+    """Anchor-based focal-loss head (A = 9 anchors/cell); norm_groups > 0
+    adds GN towers (the FreeAnchor variant's configuration)."""
     num_classes: int
     in_channels: int = 256
     feat_channels: int = 256
@@ -60,9 +61,10 @@ class RetinaHead(nn.Module):
 
     @nn.compact
     def __call__(self, feats: Sequence[Array]) -> Dict[str, List[Array]]:
-        cls_tower = _Tower(self.stacked_convs, self.feat_channels, False,
+        use_gn = self.norm_groups > 0
+        cls_tower = _Tower(self.stacked_convs, self.feat_channels, use_gn,
                            "cls_conv")
-        reg_tower = _Tower(self.stacked_convs, self.feat_channels, False,
+        reg_tower = _Tower(self.stacked_convs, self.feat_channels, use_gn,
                            "reg_conv")
         cls_out = _conv3(self.num_base_anchors * self.num_classes,
                          "retina_cls", bias_init=_prior_bias)

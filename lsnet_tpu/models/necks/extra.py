@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..layers import ConvModule
+from ..layers import ConvModule, FrozenBatchNorm
 from .fpn import FPN, _upsample_nearest_2x_to
 
 Array = jax.Array
@@ -308,3 +308,91 @@ class RFP(nn.Module):
                 fused.append(gate * nw + (1 - gate) * o)
             outs = tuple(fused)
         return outs
+
+
+class _NASFCOSConcatCell(nn.Module):
+    """NAS-FCOS ConcatCell (reference `ops/merge_cells.py:129-137` +
+    `necks/nasfcos_fpn.py:76-91`): optional 3x3 input convs, resize to the
+    larger input, channel concat, then norm->act->grouped-1x1 out conv
+    (groups = out_channels: each pair of concat channels mixes to one)."""
+    out_channels: int
+    with_input1_conv: bool = True
+    with_input2_conv: bool = False
+    norm_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, x1: Array, x2: Array) -> Array:
+        C = self.out_channels
+        if self.with_input1_conv:
+            x1 = ConvModule(C, 3, bias=True, norm_cfg=self.norm_cfg,
+                            name="input1_conv")(x1)
+        if self.with_input2_conv:
+            x2 = ConvModule(C, 3, bias=True, norm_cfg=self.norm_cfg,
+                            name="input2_conv")(x2)
+        out_hw = (max(x1.shape[1], x2.shape[1]),
+                  max(x1.shape[2], x2.shape[2]))
+        x1 = _resize_to(x1, out_hw)
+        x2 = _resize_to(x2, out_hw)
+        # interleave so each depthwise group sees (x1_c, x2_c) — the torch
+        # concat is block-wise [x1, x2] with groups=C mapping group c to
+        # channels (2c? no: group c gets channels [c*2? ...]); torch groups
+        # split the 2C input contiguously: group c owns channels
+        # [c*2C/C=(2c, 2c+1)] of the CONCAT -> pair (x1_{2c}, x1_{2c+1})
+        # for c < C/2 ... i.e. the plain block concat, grouped conv
+        x = jnp.concatenate([x1, x2], axis=-1)
+        x = FrozenBatchNorm(name="bn")(x)
+        x = nn.relu(x)
+        # grouped 1x1, groups = C over 2C input
+        x = nn.Conv(C, (1, 1), feature_group_count=C, use_bias=False,
+                    name="out_conv")(x)
+        return x
+
+
+class NASFCOSFPN(nn.Module):
+    """NAS-FCOS FPN (reference `necks/nasfcos_fpn.py:10-161`): BN+ReLU 1x1
+    adapters, the searched 7-ConcatCell DAG, P3-P5 fused with f5 and
+    bilinear-resized back to input strides, extra stride-2 convs."""
+    out_channels: int = 256
+    num_outs: int = 5
+    start_level: int = 1
+    norm_cfg: Optional[dict] = None
+
+    @nn.compact
+    def __call__(self, inputs: Sequence[Array]) -> Tuple[Array, ...]:
+        C = self.out_channels
+        used = list(inputs[self.start_level:])
+        feats = []
+        for i, f in enumerate(used):
+            a = nn.Conv(C, (1, 1), use_bias=False,
+                        name=f"adapt_{i}")(f)
+            a = FrozenBatchNorm(name=f"adapt_bn_{i}")(a)
+            feats.append(nn.relu(a))
+        spec = [("c22_1", 2, 2, True, True), ("c22_2", 2, 2, True, True),
+                ("c32", 3, 2, True, False), ("c02", 0, 2, True, False),
+                ("c42", 4, 2, True, True), ("c36", 3, 6, True, True),
+                ("c61", 6, 1, True, True)]
+        for name, i1, i2, w1, w2 in spec:
+            feats.append(_NASFCOSConcatCell(
+                C, with_input1_conv=w1, with_input2_conv=w2,
+                norm_cfg=self.norm_cfg, name=name)(feats[i1], feats[i2]))
+        ret = []
+        for idx, input_idx in zip([9, 8, 7], [1, 2, 3]):
+            f1, f2 = feats[idx], feats[5]
+            f2r = jax.image.resize(
+                f2, (f2.shape[0], f1.shape[1], f1.shape[2], f2.shape[3]),
+                method="bilinear")
+            s = f1 + f2r
+            tgt = inputs[input_idx].shape[1:3]
+            ret.append(jax.image.resize(
+                s, (s.shape[0], tgt[0], tgt[1], s.shape[3]),
+                method="bilinear"))
+        x = ret[-1]
+        for k in range(self.num_outs - len(ret)):
+            # reference order ('act','norm','conv'), act None on the first
+            if k > 0:
+                x = nn.relu(x)
+            x = nn.Conv(C, (3, 3), strides=(2, 2),
+                        padding=[(1, 1), (1, 1)],
+                        name=f"extra_{k}")(x)
+            ret.append(x)
+        return tuple(ret)

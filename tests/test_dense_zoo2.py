@@ -202,3 +202,42 @@ def test_zoo2_configs_build():
         dcfg = dense_cfg_from(cfg, IMG)
         assert dcfg.head in ("ssd", "fovea", "fsaf")
         assert make_loss_for(cfg, IMG) is not None
+
+
+@pytest.mark.parametrize("empty", [False, True])
+def test_free_anchor_loss(empty):
+    from lsnet_tpu.core.dense_loss import DenseLossConfig, dense_loss
+    from lsnet_tpu.models.heads.dense import RetinaHead
+
+    head = RetinaHead(num_classes=4, in_channels=32, feat_channels=32,
+                      stacked_convs=1, norm_groups=8)
+    feats = _pt_feats()
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    batch = _batch(empty=empty)
+    cfg = DenseLossConfig(image_shape=IMG, num_classes=4,
+                          head="free_anchor")
+
+    def lf(p):
+        outs = head.apply({"params": p}, feats)
+        return dense_loss(outs, batch, cfg)
+
+    (total, losses), grads = jax.value_and_grad(
+        lambda p: lf(p), has_aux=True)(variables["params"])
+    assert np.isfinite(float(total)), losses
+    gnorm = jnp.sqrt(sum(jnp.sum(g ** 2) for g in jax.tree.leaves(grads)))
+    assert np.isfinite(float(gnorm))
+    if not empty:
+        assert float(losses["positive_bag_loss"]) > 0
+        assert float(gnorm) > 0
+
+
+def test_free_anchor_config_builds():
+    from lsnet_tpu.models import build_detector
+    from lsnet_tpu.train.loop import dense_cfg_from
+    from lsnet_tpu.utils.config import Config
+
+    cfg = Config.fromfile(
+        "configs/free_anchor/retinanet_free_anchor_r50_fpn_1x_coco.py")
+    assert cfg.model.bbox_head.type == "FreeAnchorRetinaHead"
+    model, _ = build_detector(cfg.model.to_dict())
+    assert dense_cfg_from(cfg, IMG).head == "free_anchor"
