@@ -129,6 +129,12 @@ def init_detector(config: Union[str, Config],
         def decode_fn(outs, shapes, sfs, tcfg):
             rcfg = reppoints_cfg_from(cfg, tcfg.image_shape)
             return reppoints_decode(outs, shapes, sfs, tcfg, rcfg)
+    elif head_type == "RepPointsV2Head":
+        from .core.reppoints import reppoints_v2_decode
+
+        def decode_fn(outs, shapes, sfs, tcfg):
+            rcfg = reppoints_cfg_from(cfg, tcfg.image_shape)
+            return reppoints_v2_decode(outs, shapes, sfs, tcfg, rcfg)
     elif cfg.model.type == "LSCPVDetector":
         decode_fn = lscpv_decode
     else:

@@ -201,10 +201,32 @@ def lscpv_loss(outs: Dict[str, Sequence[Array]], batch: Dict[str, Array],
         refine_t.bboxes_gt, num_pos_refine, cfg, "bbox",
         cfg.refine_loss_weight)
 
-    # ---- corner heatmap / offset losses ----
+    losses.update(cpv_aux_losses(
+        outs, batch, points, nlp, valid, cfg.image_shape, cfg.num_classes,
+        gaussian_iou=ccfg.gaussian_iou,
+        heatmap_loss_weight=ccfg.heatmap_loss_weight,
+        offset_beta=ccfg.offset_beta,
+        offset_loss_weight=ccfg.offset_loss_weight,
+        sem_loss_weight=ccfg.sem_loss_weight))
+
+    total = sum(losses.values())
+    return total, losses
+
+
+def cpv_aux_losses(outs, batch, points, nlp, valid, image_shape,
+                   num_classes, *, gaussian_iou=0.7,
+                   heatmap_loss_weight=0.25, offset_beta=1.0 / 9.0,
+                   offset_loss_weight=1.0, sem_loss_weight=0.1):
+    """Corner heatmap + offset + semantic-map losses — shared by LSCPV
+    (`lscpvnet_head.py:605-947`) and RepPointsV2 (same verification
+    module, `reppoints_v2_head.py`)."""
+    gt_bboxes = batch["gt_bboxes"]
+    gt_labels = batch["gt_labels"]
+    gt_valid = batch["gt_valid"]
+    losses: Dict[str, Array] = {}
     hmt = jax.vmap(
         lambda pv, gb, gv: hm_targets_single(
-            points, pv, nlp, gb, gv, gaussian_iou=ccfg.gaussian_iou)
+            points, pv, nlp, gb, gv, gaussian_iou=gaussian_iou)
     )(valid, gt_bboxes, gt_valid)
     hm_flat = _flatten_levels(outs["hem_score"])          # (B, N, 2)
     off_flat = _flatten_levels(outs["hem_offset"])        # (B, N, 4)
@@ -216,13 +238,13 @@ def lscpv_loss(outs: Dict[str, Sequence[Array]], batch: Dict[str, Array],
                                    hmt.hm_weight, avg_factor=n_tl)
                + gaussian_focal_loss(hm_br_pred, hmt.hm_br,
                                      hmt.hm_weight, avg_factor=n_br)) / 2.0
-    losses["loss_heatmap"] = loss_hm * ccfg.heatmap_loss_weight
+    losses["loss_heatmap"] = loss_hm * heatmap_loss_weight
 
-    l_tl = smooth_l1(off_flat[..., 0:2], hmt.offset_tl, ccfg.offset_beta)
-    l_br = smooth_l1(off_flat[..., 2:4], hmt.offset_br, ccfg.offset_beta)
+    l_tl = smooth_l1(off_flat[..., 0:2], hmt.offset_tl, offset_beta)
+    l_br = smooth_l1(off_flat[..., 2:4], hmt.offset_br, offset_beta)
     loss_off = ((l_tl * hmt.offset_tl_w[..., None]).sum() / n_tl
                 + (l_br * hmt.offset_br_w[..., None]).sum() / n_br) / 2.0
-    losses["loss_offset"] = loss_off * ccfg.offset_loss_weight
+    losses["loss_offset"] = loss_off * offset_loss_weight
 
     # ---- semantic map loss (`lscpvnet_head.py:927-947`) ----
     if "gt_sem_map" in batch:
@@ -230,27 +252,22 @@ def lscpv_loss(outs: Dict[str, Sequence[Array]], batch: Dict[str, Array],
         sem_w = batch["gt_sem_weights"]
     else:
         sem_map, sem_w = make_sem_targets(
-            gt_bboxes, gt_labels, gt_valid, cfg.image_shape,
-            cfg.num_classes)
+            gt_bboxes, gt_labels, gt_valid, image_shape, num_classes)
     sem_terms = []
-    gt_maps = []
     for lvl_score in outs["sem_score"]:
         h, w = lvl_score.shape[1:3]
         gm = _nearest_resize(sem_map, (h, w))
         gw = _nearest_resize(sem_w, (h, w))
         sem_terms.append((lvl_score.reshape(-1), gm.reshape(-1),
                           gw.reshape(-1)))
-        gt_maps.append(gm)
     scores_c = jnp.concatenate([t[0] for t in sem_terms])
     maps_c = jnp.concatenate([t[1] for t in sem_terms])
     w_c = jnp.concatenate([t[2] for t in sem_terms])
     avg = jnp.maximum((maps_c > 0).sum(), 1)
     losses["loss_sem"] = sep_focal_loss(
         scores_c[:, None], maps_c[:, None], w_c, avg_factor=avg
-    ) * ccfg.sem_loss_weight
-
-    total = sum(losses.values())
-    return total, losses
+    ) * sem_loss_weight
+    return losses
 
 
 def _nearest_resize(x: Array, hw: Tuple[int, int]) -> Array:

@@ -196,3 +196,118 @@ def reppoints_decode(outs: Dict[str, Sequence[Array]], img_shapes: Array,
         return nms_candidates(b, lms, scores, tcfg)
 
     return jax.vmap(single)(cls, boxes, img_shapes, scale_factors)
+
+
+def reppoints_v2_loss(outs: Dict[str, Sequence[Array]],
+                      batch: Dict[str, Array], cfg: RepPointsConfig,
+                      *, gaussian_iou: float = 0.7,
+                      heatmap_loss_weight: float = 0.25,
+                      offset_loss_weight: float = 1.0,
+                      sem_loss_weight: float = 0.1
+                      ) -> Tuple[Array, Dict[str, Array]]:
+    """RepPoints v2 = v1 point losses + the corner/sem verification losses
+    shared with LSCPV (`reppoints_v2_head.py` loss flow)."""
+    from .cpv import cpv_aux_losses
+    total, losses = reppoints_loss(outs, batch, cfg)
+    points = P.multi_level_points(cfg.image_shape, cfg.point_strides)
+    nlp = P.num_level_points(cfg.image_shape, cfg.point_strides)
+    valid = jax.vmap(lambda ps: P.valid_flags(
+        cfg.image_shape, cfg.point_strides, ps))(batch["pad_shape"])
+    aux = cpv_aux_losses(outs, batch, points, nlp, valid, cfg.image_shape,
+                         cfg.num_classes, gaussian_iou=gaussian_iou,
+                         heatmap_loss_weight=heatmap_loss_weight,
+                         offset_loss_weight=offset_loss_weight,
+                         sem_loss_weight=sem_loss_weight)
+    losses.update(aux)
+    return total + sum(aux.values()), losses
+
+
+def reppoints_v2_decode(outs: Dict[str, Sequence[Array]], img_shapes: Array,
+                        scale_factors: Array, tcfg: TestConfig,
+                        cfg: RepPointsConfig, rescale: bool = True
+                        ) -> Detections:
+    """v2 decode: v1 points2bbox + CPV corner-verification snap on levels
+    > 0 (reference `reppoints_v2_head.py` get_bboxes with
+    `lscpvnet_head.py:1012-1092`-style peak lookup)."""
+    from ..ops.nms import NEG_INF, batched_nms
+    K = cfg.num_points
+    C = cfg.num_classes
+    shapes = P.level_shapes(cfg.image_shape, cfg.point_strides)
+    num_levels = len(outs["cls"])
+    moment = outs["moment"].astype(jnp.float32)
+
+    def snap(hm, off, x, y, lvl_i, corner):
+        H, W = hm.shape[:2]
+        s = cfg.point_strides[lvl_i]
+        prob = jax.nn.sigmoid(hm)
+        w00 = prob[:-1, :-1]
+        w01 = prob[:-1, 1:]
+        w10 = prob[1:, :-1]
+        w11 = prob[1:, 1:]
+        stack = jnp.stack([w00, w01, w10, w11], axis=-1)
+        arg = jnp.argmax(stack, axis=-1)
+        dy = arg // 2
+        dx = arg % 2
+        xr = jnp.floor(jnp.clip(x / s, 0, W - 2)).astype(jnp.int32)
+        yr = jnp.floor(jnp.clip(y / s, 0, H - 2)).astype(jnp.int32)
+        nx = (xr + dx[yr, xr]).astype(jnp.int32)
+        ny = (yr + dy[yr, xr]).astype(jnp.int32)
+        ch = (0, 1) if corner == "tl" else (2, 3)
+        ox = off[ny, nx, ch[0]]
+        oy = off[ny, nx, ch[1]]
+        return ((nx.astype(x.dtype) + ox) * s,
+                (ny.astype(y.dtype) + oy) * s)
+
+    def single(cls_list, pts_list, hm_list, off_list, img_shape, sf):
+        mlvl_scores, mlvl_bboxes = [], []
+        for lvl in range(num_levels):
+            h, w = shapes[lvl]
+            s = cfg.point_strides[lvl]
+            scores = jax.nn.sigmoid(
+                cls_list[lvl].reshape(-1, C).astype(jnp.float32))
+            pts = P.grid_points((h, w), s)
+            k = min(tcfg.nms_pre, scores.shape[0])
+            _, topk = jax.lax.top_k(scores.max(axis=1), k)
+            scores = scores[topk]
+            yx = pts_list[lvl].reshape(-1, K, 2)[topk].astype(jnp.float32)
+            xy_pts = yx[..., ::-1] * s + pts[topk, None, :2]
+            bbox = points2bbox(xy_pts, cfg.transform_method, moment)
+            x1 = jnp.clip(bbox[:, 0], 0, img_shape[1])
+            y1 = jnp.clip(bbox[:, 1], 0, img_shape[0])
+            x2 = jnp.clip(bbox[:, 2], 0, img_shape[1])
+            y2 = jnp.clip(bbox[:, 3], 0, img_shape[0])
+            if lvl > 0:
+                i = 0 if lvl in (1, 2) else 1
+                hm = hm_list[i]
+                off = off_list[i]
+                x1n, y1n = snap(hm[..., 0], off, x1, y1, i, "tl")
+                x2n, y2n = snap(hm[..., 1], off, x2, y2, i, "br")
+                x1 = jnp.clip(x1n, 0, img_shape[1])
+                y1 = jnp.clip(y1n, 0, img_shape[0])
+                x2 = jnp.clip(x2n, 0, img_shape[1])
+                y2 = jnp.clip(y2n, 0, img_shape[0])
+            mlvl_bboxes.append(jnp.stack([x1, y1, x2, y2], -1))
+            mlvl_scores.append(scores)
+        scores = jnp.concatenate(mlvl_scores)
+        bboxes = jnp.concatenate(mlvl_bboxes)
+        if rescale:
+            bboxes = bboxes / sf[None, :]
+        T2, _ = scores.shape
+        cand = jnp.where(scores > tcfg.score_thr, scores, NEG_INF)
+        k = min(tcfg.nms_pre, T2 * C)
+        flat_scores, flat_idx = jax.lax.top_k(cand.reshape(-1), k)
+        ci = flat_idx // C
+        labels = (flat_idx % C).astype(jnp.int32)
+        keep_idx, keep_s, keep_v = batched_nms(
+            bboxes[ci], flat_scores, labels, tcfg.nms_iou, tcfg.max_per_img)
+        z = keep_v[:, None].astype(bboxes.dtype)
+        return Detections(bboxes[ci][keep_idx] * z,
+                          jnp.where(keep_v, keep_s, 0.0),
+                          labels[keep_idx] * keep_v,
+                          jnp.zeros((tcfg.max_per_img, 8), bboxes.dtype),
+                          keep_v)
+
+    return jax.vmap(single)(
+        tuple(outs["cls"]), tuple(outs["pts_refine"]),
+        tuple(outs["hem_score"]), tuple(outs["hem_offset"]),
+        img_shapes, scale_factors)

@@ -525,3 +525,47 @@ def cascade_rcnn_decode(model, variables, images: Array, img_shapes: Array,
                           keep_v)
 
     return jax.vmap(single)(props, probs, img_shapes, scale_factors)
+
+
+def fast_rcnn_decode(model, variables, images: Array, proposals: Array,
+                     prop_valid: Array, img_shapes: Array,
+                     scale_factors: Array, cfg: TwoStageConfig,
+                     tcfg: TestConfig, rescale: bool = True) -> Detections:
+    """Fast R-CNN simple_test (reference `fast_rcnn.py` +
+    `standard_roi_head.simple_test`): externally supplied per-image
+    proposals (B, P, 4) -> RoI head -> per-class decode + NMS."""
+    feats = model.apply(variables, images, method="extract")
+    cls_logits, reg = model.apply(
+        variables, feats, _rois_with_batch_idx(proposals),
+        method="roi_forward")
+    B, P, _ = proposals.shape
+    C = cfg.num_classes
+    cls_logits = cls_logits.reshape(B, P, C + 1)
+    reg = reg.reshape(B, P, C, 4)
+
+    def single(props_i, pvalid_i, cls_i, reg_i, img_shape, sf):
+        probs = jax.nn.softmax(cls_i.astype(jnp.float32), -1)[:, :C]
+        probs = probs * pvalid_i[:, None].astype(probs.dtype)
+        boxes = delta2bbox(props_i[:, None, :].repeat(C, 1),
+                           reg_i.astype(jnp.float32),
+                           stds=cfg.rcnn_stds, max_shape=img_shape)
+        if rescale:
+            boxes = boxes / sf[None, None, :]
+        flat_boxes = boxes.reshape(P * C, 4)
+        flat_scores = probs.reshape(P * C)
+        flat_labels = jnp.tile(jnp.arange(C, dtype=jnp.int32), (P,))
+        cand = jnp.where(flat_scores > tcfg.score_thr, flat_scores, NEG_INF)
+        k = min(tcfg.nms_pre, P * C)
+        top_s, top_i = jax.lax.top_k(cand, k)
+        keep_idx, keep_s, keep_v = batched_nms(
+            flat_boxes[top_i], top_s, flat_labels[top_i], tcfg.nms_iou,
+            tcfg.max_per_img)
+        z = keep_v[:, None].astype(boxes.dtype)
+        return Detections(flat_boxes[top_i][keep_idx] * z,
+                          jnp.where(keep_v, keep_s, 0.0),
+                          flat_labels[top_i][keep_idx] * keep_v,
+                          jnp.zeros((tcfg.max_per_img, 8), boxes.dtype),
+                          keep_v)
+
+    return jax.vmap(single)(proposals, prop_valid, cls_logits, reg,
+                            img_shapes, scale_factors)

@@ -22,8 +22,8 @@ from .necks.fpn import FPN  # noqa: E402
 from .heads.ls_head import LSHead  # noqa: E402
 from .heads.lscpv_head import LSCPVHead  # noqa: E402
 from .heads.dense import (ATSSHead, FCOSHead, FoveaHead, FSAFHead,  # noqa: E402
-                          GFLHead, RetinaHead, SSDHead)
-from .heads.reppoints import RepPointsHead  # noqa: E402
+                          GFLHead, RetinaHead, RetinaSepBNHead, SSDHead)
+from .heads.reppoints import RepPointsHead, RepPointsV2Head  # noqa: E402
 from .detectors.lsnet import LSDetector  # noqa: E402
 
 # string-typed assembly (the builders below add the config-key translation
@@ -38,9 +38,11 @@ HEADS.register_module(module=FCOSHead)
 HEADS.register_module(module=ATSSHead)
 HEADS.register_module(module=GFLHead)
 HEADS.register_module(module=RepPointsHead)
+HEADS.register_module(module=RepPointsV2Head)
 HEADS.register_module(module=SSDHead)
 HEADS.register_module(module=FoveaHead)
 HEADS.register_module(module=FSAFHead)
+HEADS.register_module(module=RetinaSepBNHead)
 DETECTORS.register_module(module=LSDetector)
 
 
@@ -191,13 +193,14 @@ def build_head(cfg: Dict[str, Any]):
         if "num_points" in cfg:
             cfg["num_kernel_points"] = cfg.pop("num_points")
         return LSCPVHead(**cfg), loss_cfgs
-    if kind == "RepPointsHead":
+    if kind in ("RepPointsHead", "RepPointsV2Head"):
         for k in ("use_grid_points", "center_init", "train_cfg",
                   "test_cfg"):
             cfg.pop(k, None)
         if "point_strides" in cfg:
             cfg["point_strides"] = tuple(cfg["point_strides"])
-        return RepPointsHead(**cfg), loss_cfgs
+        cls_h = RepPointsHead if kind == "RepPointsHead" else RepPointsV2Head
+        return cls_h(**cfg), loss_cfgs
     if kind == "FreeAnchorRetinaHead":
         # RetinaHead module with GN towers; the FreeAnchor bag loss lives
         # in core.dense_loss.free_anchor_loss
@@ -205,8 +208,8 @@ def build_head(cfg: Dict[str, Any]):
                   "pre_anchor_topk", "bbox_thr", "gamma", "alpha"):
             cfg.pop(k, None)
         return RetinaHead(**cfg), loss_cfgs
-    if kind in ("RetinaHead", "FCOSHead", "ATSSHead", "GFLHead", "SSDHead",
-                "FoveaHead", "FSAFHead"):
+    if kind in ("RetinaHead", "RetinaSepBNHead", "FCOSHead", "ATSSHead",
+                "GFLHead", "SSDHead", "FoveaHead", "FSAFHead"):
         # assigner/coder/anchor settings live in the loss config, not the
         # flax module (mmdet folds them into the head; we keep the split)
         anchor_gen = None
@@ -225,6 +228,12 @@ def build_head(cfg: Dict[str, Any]):
             if k in ("strides", "centerness_on_reg") and v is not None and \
                     kind == "FCOSHead":
                 cfg[k] = tuple(v) if k == "strides" else v
+        if kind == "RetinaSepBNHead":
+            cfg.pop("num_ins", None)
+            if anchor_gen is not None:
+                cfg["num_base_anchors"] = (
+                    len(anchor_gen.get("ratios", [0.5, 1, 2]))
+                    * anchor_gen.get("scales_per_octave", 3))
         if kind == "SSDHead":
             cfg["in_channels"] = tuple(cfg.get(
                 "in_channels", (512, 1024, 512, 256, 256, 256)))
@@ -236,7 +245,8 @@ def build_head(cfg: Dict[str, Any]):
         head_cls = {"RetinaHead": RetinaHead, "FCOSHead": FCOSHead,
                     "ATSSHead": ATSSHead, "GFLHead": GFLHead,
                     "SSDHead": SSDHead, "FoveaHead": FoveaHead,
-                    "FSAFHead": FSAFHead}[kind]
+                    "FSAFHead": FSAFHead,
+                    "RetinaSepBNHead": RetinaSepBNHead}[kind]
         return head_cls(**cfg), loss_cfgs
     return _registry_build(HEADS, kind, cfg), loss_cfgs
 
@@ -251,9 +261,9 @@ def build_detector(cfg: Dict[str, Any]):
     backbone = build_backbone(cfg.pop("backbone"))
     neck = build_neck(cfg.pop("neck"))
     if kind in ("FasterRCNN", "TwoStageDetector", "MaskRCNN",
-                "CascadeRCNN"):
-        from .heads.two_stage import (CascadeRCNNDetector, FCNMaskHead,
-                                      MaskRCNNDetector, RPNHead,
+                "CascadeRCNN", "FastRCNN"):
+        from .heads.two_stage import (CascadeRCNNDetector, FastRCNNDetector,
+                                      FCNMaskHead, MaskRCNNDetector, RPNHead,
                                       Shared2FCBBoxHead, TwoStageDetector)
         rpn_cfg = dict(cfg.pop("rpn_head", {}))
         rpn_cfg.pop("type", None)
@@ -291,6 +301,9 @@ def build_detector(cfg: Dict[str, Any]):
             det = MaskRCNNDetector(backbone=backbone, neck=neck,
                                    rpn_head=rpn, bbox_head=bbox_head,
                                    mask_head=mask_head)
+        elif kind == "FastRCNN":
+            det = FastRCNNDetector(backbone=backbone, neck=neck,
+                                   bbox_head=bbox_head)
         else:
             det = TwoStageDetector(backbone=backbone, neck=neck,
                                    rpn_head=rpn, bbox_head=bbox_head)
@@ -298,7 +311,8 @@ def build_detector(cfg: Dict[str, Any]):
     head, loss_cfgs = build_head(cfg.pop("bbox_head"))
     if kind in ("LSDetector", "LSCPVDetector", "RetinaNet", "FCOS",
                 "ATSS", "GFL", "RepPointsDetector", "SingleStageDetector",
-                "SSD", "FOVEA", "FoveaBox", "FSAF", "FreeAnchor"):
+                "SSD", "FOVEA", "FoveaBox", "FSAF", "FreeAnchor",
+                "NASFCOS", "RepPointsV2Detector"):
         # all single-stage: backbone -> neck -> head assembly
         return LSDetector(backbone=backbone, neck=neck, head=head), loss_cfgs
     det_cls = DETECTORS.get(kind)

@@ -236,3 +236,40 @@ class FSAFHead(nn.Module):
             cls_maps.append(cls_out(cls_tower(f)))
             reg_maps.append(nn.relu(reg_out(reg_tower(f))))
         return {"cls": cls_maps, "reg": reg_maps}
+
+
+class RetinaSepBNHead(nn.Module):
+    """RetinaNet head with SHARED tower convs but per-level BN statistics
+    (reference `.../retina_sepbn_head.py`: used by NAS-FPN recipes)."""
+    num_classes: int
+    in_channels: int = 256
+    feat_channels: int = 256
+    stacked_convs: int = 4
+    num_base_anchors: int = 9
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array]) -> Dict[str, List[Array]]:
+        from ..layers import FrozenBatchNorm
+        n_lvl = len(feats)
+        cls_convs = [_conv3(self.feat_channels, f"cls_conv{i}")
+                     for i in range(self.stacked_convs)]
+        reg_convs = [_conv3(self.feat_channels, f"reg_conv{i}")
+                     for i in range(self.stacked_convs)]
+        cls_bns = [[FrozenBatchNorm(name=f"cls_bn{i}_l{l}")
+                    for l in range(n_lvl)]
+                   for i in range(self.stacked_convs)]
+        reg_bns = [[FrozenBatchNorm(name=f"reg_bn{i}_l{l}")
+                    for l in range(n_lvl)]
+                   for i in range(self.stacked_convs)]
+        cls_out = _conv3(self.num_base_anchors * self.num_classes,
+                         "retina_cls", bias_init=_prior_bias)
+        reg_out = _conv3(self.num_base_anchors * 4, "retina_reg")
+        cls_maps, reg_maps = [], []
+        for l, f in enumerate(feats):
+            cf, rf = f, f
+            for i in range(self.stacked_convs):
+                cf = nn.relu(cls_bns[i][l](cls_convs[i](cf)))
+                rf = nn.relu(reg_bns[i][l](reg_convs[i](rf)))
+            cls_maps.append(cls_out(cf))
+            reg_maps.append(reg_out(rf))
+        return {"cls": cls_maps, "reg": reg_maps}

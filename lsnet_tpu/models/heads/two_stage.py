@@ -202,3 +202,27 @@ class CascadeRCNNDetector(TwoStageDetector):
         for st in range(3):
             outs[f"roi{st}"] = self.roi_forward_stage(feats, dummy, st)
         return outs
+
+
+class FastRCNNDetector(nn.Module):
+    """Fast R-CNN (reference `detectors/fast_rcnn.py`): the RoI head run on
+    EXTERNALLY provided proposals — no RPN. Methods mirror
+    :class:`TwoStageDetector` minus ``rpn``."""
+    backbone: nn.Module
+    neck: nn.Module
+    bbox_head: nn.Module
+    strides: Tuple[int, ...] = (4, 8, 16, 32, 64)
+
+    def extract(self, images: Array) -> Tuple[Array, ...]:
+        return self.neck(self.backbone(images))
+
+    def roi_forward(self, feats: Sequence[Array], rois: Array
+                    ) -> Tuple[Array, Array]:
+        roi_feats = multilevel_roi_align(list(feats), rois, self.strides)
+        return self.bbox_head(roi_feats)
+
+    def __call__(self, images: Array, rois: Array = None):
+        feats = self.extract(images)
+        if rois is None:
+            rois = jnp.zeros((1, 5), images.dtype)
+        return {"roi": self.roi_forward(feats, rois)}

@@ -99,7 +99,8 @@ def _head_num_vectors(cfg, head) -> int:
                     36 if cfg.model.type == "MaskRCNN" else 4)
 
 
-DENSE_HEAD_KINDS = {"RetinaHead": "retina", "FCOSHead": "fcos",
+DENSE_HEAD_KINDS = {"RetinaHead": "retina", "RetinaSepBNHead": "retina",
+                    "FCOSHead": "fcos",
                     "ATSSHead": "atss", "GFLHead": "gfl",
                     "SSDHead": "ssd", "FoveaHead": "fovea",
                     "FSAFHead": "fsaf",
@@ -198,6 +199,10 @@ def make_loss_for(cfg, image_shape):
         from ..core.reppoints import reppoints_loss
         rcfg = reppoints_cfg_from(cfg, image_shape)
         return lambda outs, batch: reppoints_loss(outs, batch, rcfg)
+    if head_type == "RepPointsV2Head":
+        from ..core.reppoints import reppoints_v2_loss
+        rcfg = reppoints_cfg_from(cfg, image_shape)
+        return lambda outs, batch: reppoints_v2_loss(outs, batch, rcfg)
     if head_type == "LSHead":
         from ..core.loss import lsnet_loss
         lcfg = loss_cfg_from(cfg, image_shape)
@@ -410,6 +415,11 @@ def evaluate_detector(cfg, model, state, canvas, *, batch_size: int = 8,
                 from ..core.reppoints import reppoints_decode
                 rcfg = reppoints_cfg_from(cfg, canvas_hw)
                 fn = jax.jit(lambda outs, shapes, sf: reppoints_decode(
+                    outs, shapes, sf, tcfg, rcfg))
+            elif head_type == "RepPointsV2Head":
+                from ..core.reppoints import reppoints_v2_decode
+                rcfg = reppoints_cfg_from(cfg, canvas_hw)
+                fn = jax.jit(lambda outs, shapes, sf: reppoints_v2_decode(
                     outs, shapes, sf, tcfg, rcfg))
             elif head_type == "LSCPVHead":
                 from ..core.cpv import lscpv_decode

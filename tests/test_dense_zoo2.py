@@ -241,3 +241,22 @@ def test_free_anchor_config_builds():
     assert cfg.model.bbox_head.type == "FreeAnchorRetinaHead"
     model, _ = build_detector(cfg.model.to_dict())
     assert dense_cfg_from(cfg, IMG).head == "free_anchor"
+
+
+def test_retina_sepbn_head():
+    """Shared tower convs, per-level BN (NAS-FPN recipe head)."""
+    from lsnet_tpu.core.dense_loss import DenseLossConfig, dense_loss
+    from lsnet_tpu.models.heads.dense import RetinaSepBNHead
+
+    head = RetinaSepBNHead(num_classes=4, in_channels=32, feat_channels=32,
+                           stacked_convs=1)
+    feats = _pt_feats()
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    outs = head.apply(variables, feats)
+    assert outs["cls"][0].shape[-1] == 9 * 4
+    # conv weights shared across levels; one BN per (block, level)
+    p = variables["params"]
+    assert "cls_conv0" in p and "cls_bn0_l0" in p and "cls_bn0_l4" in p
+    cfg = DenseLossConfig(image_shape=IMG, num_classes=4, head="retina")
+    total, _ = dense_loss(outs, _batch(), cfg)
+    assert np.isfinite(float(total))

@@ -172,3 +172,71 @@ def test_overfit_smoke():
         if first is None:
             first = float(loss)
     assert float(loss) < first
+
+
+def _v2_head():
+    from lsnet_tpu.models.heads.reppoints import RepPointsV2Head
+    return RepPointsV2Head(num_classes=4, in_channels=32, feat_channels=32,
+                           point_feat_channels=32, stacked_convs=1,
+                           corner_dim=8, norm_groups=8)
+
+
+def test_v2_forward_shapes():
+    head = _v2_head()
+    feats = _feats()
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    outs = head.apply(variables, feats)
+    for lvl, s in enumerate(STRIDES):
+        h, w = -(-IMG[0] // s), -(-IMG[1] // s)
+        assert outs["cls"][lvl].shape == (2, h, w, 4)
+        assert outs["pts_refine"][lvl].shape == (2, h, w, 18)
+        assert outs["hem_score"][lvl].shape == (2, h, w, 2)
+        assert outs["hem_offset"][lvl].shape == (2, h, w, 4)
+        assert outs["sem_score"][lvl].shape == (2, h, w, 4)
+
+
+@pytest.mark.parametrize("empty", [False, True])
+def test_v2_loss_and_grads(empty):
+    from lsnet_tpu.core.reppoints import reppoints_v2_loss
+
+    head = _v2_head()
+    feats = _feats()
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    batch = _batch(empty=empty)
+    cfg = _cfg()
+
+    def lf(p):
+        outs = head.apply({"params": p}, feats)
+        return reppoints_v2_loss(outs, batch, cfg)
+
+    (total, losses), grads = jax.value_and_grad(
+        lambda p: lf(p), has_aux=True)(variables["params"])
+    assert np.isfinite(float(total)), losses
+    assert "loss_heatmap" in losses and "loss_sem" in losses
+    gnorm = jnp.sqrt(sum(jnp.sum(g ** 2) for g in jax.tree.leaves(grads)))
+    assert np.isfinite(float(gnorm))
+    if not empty:
+        assert float(gnorm) > 0
+
+
+def test_v2_decode_and_config():
+    from lsnet_tpu.core.decode import TestConfig
+    from lsnet_tpu.core.reppoints import reppoints_v2_decode
+    from lsnet_tpu.utils.config import Config
+    from lsnet_tpu.models import build_detector
+
+    head = _v2_head()
+    feats = _feats()
+    variables = head.init(jax.random.PRNGKey(1), feats)
+    outs = head.apply(variables, feats)
+    tcfg = TestConfig(image_shape=IMG, num_classes=4, task="bbox",
+                      num_vectors=4, point_strides=STRIDES, nms_pre=100,
+                      score_thr=0.0, nms_iou=0.5, max_per_img=10)
+    det = reppoints_v2_decode(outs, jnp.asarray([[64, 64]] * 2, jnp.int32),
+                              jnp.ones((2, 4), jnp.float32), tcfg, _cfg())
+    assert det.bboxes.shape == (2, 10, 4)
+    cfg = Config.fromfile(
+        "configs/reppoints/reppoints_v2_moment_r50_fpn_1x_coco.py")
+    assert cfg.model.bbox_head.type == "RepPointsV2Head"
+    model, _ = build_detector(cfg.model.to_dict())
+    assert model is not None

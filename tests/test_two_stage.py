@@ -361,3 +361,35 @@ def test_cascade_rcnn_loss_and_decode():
     assert det.bboxes.shape == (2, 10, 4)
     assert np.isfinite(np.asarray(det.bboxes)).all()
     assert np.asarray(det.valid).any()
+
+
+def test_fast_rcnn_decode():
+    """Fast R-CNN: external proposals -> RoI head -> detections."""
+    import jax
+    import jax.numpy as jnp
+
+    from lsnet_tpu.core.decode import TestConfig
+    from lsnet_tpu.core.two_stage import TwoStageConfig, fast_rcnn_decode
+    from lsnet_tpu.models import build_detector
+
+    model, _ = build_detector(dict(
+        type="FastRCNN",
+        backbone=dict(type="ResNet", depth=18, num_stages=4,
+                      out_indices=(0, 1, 2, 3), frozen_stages=-1),
+        neck=dict(type="FPN", out_channels=32, num_outs=5),
+        roi_head=dict(bbox_head=dict(num_classes=4,
+                                     fc_out_channels=64))))
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    props = jnp.asarray([[[4, 4, 30, 30], [10, 10, 50, 50],
+                          [0, 0, 20, 60], [5, 20, 60, 40]]], jnp.float32)
+    pvalid = jnp.ones((1, 4), bool)
+    cfg = TwoStageConfig(image_shape=(64, 64), num_classes=4)
+    tcfg = TestConfig(image_shape=(64, 64), num_classes=4, task="bbox",
+                      num_vectors=4, nms_pre=16, score_thr=0.0,
+                      nms_iou=0.5, max_per_img=8)
+    det = fast_rcnn_decode(model, variables, img, props, pvalid,
+                           jnp.asarray([[64, 64]], jnp.int32),
+                           jnp.ones((1, 4), jnp.float32), cfg, tcfg)
+    assert det.bboxes.shape == (1, 8, 4)
+    assert np.isfinite(np.asarray(det.scores)).all()
