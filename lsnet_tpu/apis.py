@@ -89,12 +89,14 @@ def init_detector(config: Union[str, Config],
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
     if cfg.model.type in ("FasterRCNN", "TwoStageDetector", "MaskRCNN",
-                          "CascadeRCNN"):
+                          "CascadeRCNN", "MaskScoringRCNN"):
         from .core.two_stage import (cascade_rcnn_decode, mask_rcnn_decode,
+                                     mask_scoring_rcnn_decode,
                                      two_stage_decode)
         from .train.loop import two_stage_cfg_from
         ts_decode = {"MaskRCNN": mask_rcnn_decode,
-                     "CascadeRCNN": cascade_rcnn_decode}.get(
+                     "CascadeRCNN": cascade_rcnn_decode,
+                     "MaskScoringRCNN": mask_scoring_rcnn_decode}.get(
                          cfg.model.type, two_stage_decode)
 
         bundle = DetectorBundle(model, variables, cfg, canvas, None, None)

@@ -54,7 +54,7 @@ def dense_decode(outs: Dict[str, Sequence[Array]], img_shapes: Array,
             jnp.full((n,), s, jnp.float32)
             for n, s in zip(counts, lcfg.strides)])
         ctr = None
-    elif kind in ("retina", "free_anchor"):
+    elif kind in ("retina", "free_anchor", "pisa_retina"):
         anchors_np, _ = grid_anchors(lcfg.anchor, lcfg.image_shape)
         anchors = jnp.asarray(anchors_np)
         ctr = None

@@ -264,7 +264,8 @@ def dense_loss(outs, batch, cfg: DenseLossConfig):
     return {"retina": retina_loss, "fcos": fcos_loss,
             "atss": atss_loss, "gfl": gfl_loss, "ssd": ssd_loss,
             "fovea": fovea_loss, "fsaf": fsaf_loss,
-            "free_anchor": free_anchor_loss}[cfg.head](outs, batch, cfg)
+            "free_anchor": free_anchor_loss,
+            "pisa_retina": pisa_retina_loss}[cfg.head](outs, batch, cfg)
 
 
 # ------------------------------------------------------------------- GFL ---
@@ -676,4 +677,103 @@ def free_anchor_loss(outs: Dict[str, Sequence[Array]],
         "positive_bag_loss": jnp.sum(lp) / num_pos,
         "negative_bag_loss": jnp.sum(ln) / (num_pos * pre_anchor_topk),
     }
+    return sum(losses.values()), losses
+
+
+# ---------------------------------------------------------------- PISA ---
+
+def _rank_in_groups(keys: Array, groups: Array, valid: Array) -> Array:
+    """Descending rank of ``keys`` within each group (vectorized IoU-HLR
+    building block, reference `losses/pisa_loss.py:83-96`): rank 0 = best.
+    Invalid rows get rank 0 within a dump group."""
+    N = keys.shape[0]
+    g = jnp.where(valid, groups, jnp.int32(2 ** 30))
+    # lexicographic (group asc, key desc) via a combined sort key
+    order = jnp.lexsort((-keys, g))
+    sorted_g = g[order]
+    idx = jnp.arange(N)
+    first = jnp.where(
+        jnp.concatenate([jnp.ones((1,), bool),
+                         sorted_g[1:] != sorted_g[:-1]]), idx, -1)
+    seg_start = jax.lax.associative_scan(jnp.maximum, first)
+    rank_sorted = idx - seg_start
+    ranks = jnp.zeros((N,), jnp.int32).at[order].set(
+        rank_sorted.astype(jnp.int32))
+    return ranks
+
+
+def pisa_retina_loss(outs: Dict[str, Sequence[Array]],
+                     batch: Dict[str, Array], cfg: DenseLossConfig,
+                     isr_k: float = 2.0, isr_bias: float = 0.0,
+                     carl_k: float = 1.0, carl_bias: float = 0.2,
+                     carl_weight: float = 5.0):
+    """PISA RetinaNet (reference `pisa_retinanet_head.py` +
+    `losses/pisa_loss.py`): retina assignment with ISR-P importance
+    reweighting of positive cls loss (IoU-HLR) and the CARL
+    classification-aware regression term."""
+    anchors_np, counts = grid_anchors(cfg.anchor, cfg.image_shape)
+    anchors = jnp.asarray(anchors_np)
+    C = cfg.num_classes
+    cls = _flatten(outs["cls"], C).astype(jnp.float32)
+    reg = _flatten(outs["reg"], 4).astype(jnp.float32)
+
+    def single(cls_i, reg_i, gt_bboxes, gt_valid, gt_labels, img_shape):
+        pvalid = anchor_valid_flags(cfg.anchor, cfg.image_shape, img_shape)
+        res = max_iou_assign(anchors, pvalid, gt_bboxes, gt_valid,
+                             pos_iou_thr=cfg.pos_iou_thr,
+                             neg_iou_thr=cfg.neg_iou_thr,
+                             min_pos_iou=cfg.min_pos_iou)
+        pos = res.gt_idx >= 0
+        posf = pos.astype(jnp.float32)
+        labels = jnp.where(pos, gt_labels[jnp.maximum(res.gt_idx, 0)], C)
+        lw = (pvalid & ~res.ignore).astype(jnp.float32)
+        num_pos = jnp.maximum(jnp.sum(posf), 1.0)
+        tgt_boxes = jnp.where(pos[:, None],
+                              gt_bboxes[jnp.maximum(res.gt_idx, 0)], anchors)
+        deltas = bbox2delta(anchors, tgt_boxes, stds=cfg.target_stds)
+
+        # ---- ISR-P: IoU-HLR importance weights (no grad)
+        pred_boxes = jax.lax.stop_gradient(
+            delta2bbox(anchors, reg_i, stds=cfg.target_stds))
+        from ..models.losses.common import bbox_overlaps_aligned
+        ious = bbox_overlaps_aligned(pred_boxes, tgt_boxes)
+        M = gt_bboxes.shape[0]
+        grp_gt = (labels * (M + 1)
+                  + jnp.maximum(res.gt_idx, 0)).astype(jnp.int32)
+        r_local = _rank_in_groups(ious, grp_gt, pos)
+        max_l = jnp.maximum(
+            jnp.max(jnp.zeros((C + 1,), jnp.int32).at[labels].add(
+                pos.astype(jnp.int32))[:C]), 1).astype(jnp.float32)
+        key2 = ious + (max_l - r_local.astype(jnp.float32))
+        r_hlr = _rank_in_groups(key2, labels.astype(jnp.int32), pos)
+        imp = jnp.clip((max_l - r_hlr.astype(jnp.float32)) / max_l, 0.0)
+        imp = (isr_bias + imp * (1 - isr_bias)) ** isr_k
+
+        per_cls = sigmoid_focal_loss(cls_i, labels, reduction="none").sum(-1)
+        ori = jnp.sum(per_cls * posf * lw)
+        new = jnp.maximum(jnp.sum(per_cls * posf * imp), 1e-12)
+        imp = imp * (ori / new)
+        w_cls = jnp.where(pos, imp * lw, lw)
+        loss_cls = jnp.sum(per_cls * w_cls) / num_pos
+
+        bw = posf[:, None]
+        loss_bbox = l1_loss(reg_i, deltas, bw, reduction="mean",
+                            avg_factor=num_pos)
+
+        # ---- CARL (classification-aware regression)
+        p_cls = jax.nn.sigmoid(
+            jnp.take_along_axis(cls_i, jnp.clip(labels, 0, C - 1)[:, None],
+                                axis=-1))[:, 0]
+        cw = (carl_bias + (1 - carl_bias) * p_cls) ** carl_k
+        cw = cw * num_pos / jnp.maximum(jnp.sum(cw * posf), 1e-12)
+        reg_l = jnp.abs(reg_i - deltas).sum(-1) / num_pos
+        loss_carl = jnp.sum(reg_l * cw * posf) * carl_weight / num_pos
+        return (loss_cls * cfg.cls_weight, loss_bbox * cfg.bbox_weight,
+                loss_carl)
+
+    lc, lb, lcarl = jax.vmap(single)(cls, reg, batch["gt_bboxes"],
+                                     batch["gt_valid"], batch["gt_labels"],
+                                     batch["img_shape"])
+    losses = {"loss_cls": lc.mean(), "loss_bbox": lb.mean(),
+              "loss_carl": lcarl.mean()}
     return sum(losses.values()), losses

@@ -569,3 +569,89 @@ def fast_rcnn_decode(model, variables, images: Array, proposals: Array,
 
     return jax.vmap(single)(proposals, prop_valid, cls_logits, reg,
                             img_shapes, scale_factors)
+
+
+# ---------------------------------------------------- Mask Scoring R-CNN
+
+def mask_iou_targets(mask_logits: Array, rois: Array, labels: Array,
+                     gt_polys: Array, gt_idx: Array) -> Array:
+    """Actual IoU between the binarized predicted mask and the rasterized
+    GT polygon per RoI (reference `mask_scoring_roi_head.py` +
+    `maskiou_head.get_targets` — there computed from area ratios; here
+    directly on the 28x28 grids)."""
+    S, oh, ow, C = mask_logits.shape
+    tgt = rasterize_polygon_in_roi(gt_polys[jnp.maximum(gt_idx, 0)], rois,
+                                   oh)
+    cls_idx = jnp.clip(labels, 0, C - 1)
+    pred = jax.nn.sigmoid(jnp.take_along_axis(
+        mask_logits, cls_idx[:, None, None, None], axis=-1)[..., 0]) > 0.5
+    predf = pred.astype(jnp.float32)
+    inter = (predf * tgt).sum(axis=(1, 2))
+    union = jnp.maximum(predf.sum(axis=(1, 2)) + tgt.sum(axis=(1, 2))
+                        - inter, 1.0)
+    return inter / union
+
+
+def mask_scoring_rcnn_loss(model, variables, batch: Dict[str, Array],
+                           cfg: TwoStageConfig):
+    """Mask R-CNN losses + MaskIoU regression (L2 on positive RoIs,
+    reference `maskiou_head.loss`)."""
+    total, losses = mask_rcnn_loss(model, variables, batch, cfg)
+    # recompute the pieces needed for the maskiou branch (cheap next to
+    # the extra forward)
+    feats = model.apply(variables, batch["image"], method="extract")
+    rpn_outs = model.apply(variables, feats, method="rpn")
+    props, pvalid = rpn_proposals(
+        jax.tree.map(jax.lax.stop_gradient, rpn_outs),
+        batch["img_shape"], cfg)
+    rois, labels, deltas, pos, valid = sample_rois(
+        props, pvalid, batch["gt_bboxes"], batch["gt_valid"],
+        batch["gt_labels"], cfg)
+    B, S = rois.shape[:2]
+    rois5 = _rois_with_batch_idx(rois)
+    mask_logits = model.apply(variables, feats, rois5, method="mask_forward")
+    maskiou = model.apply(variables, feats, rois5, mask_logits,
+                          method="maskiou_forward")
+
+    def gt_of(rois_i, gts, gvalid):
+        ious = box_iou(rois_i, gts)
+        return jnp.where(gvalid[None, :], ious, -1.0).argmax(axis=1)
+
+    gt_idx = jax.vmap(gt_of)(rois, batch["gt_bboxes"], batch["gt_valid"])
+    flat_polys = batch["gt_polygons"].reshape(
+        -1, batch["gt_polygons"].shape[-1])
+    flat_gt = (gt_idx + jnp.arange(B)[:, None]
+               * batch["gt_polygons"].shape[1]).reshape(-1)
+    iou_t = mask_iou_targets(mask_logits, rois.reshape(B * S, 4),
+                             labels.reshape(-1), flat_polys, flat_gt)
+    cls_idx = jnp.clip(labels.reshape(-1), 0, maskiou.shape[-1] - 1)
+    iou_p = jnp.take_along_axis(maskiou, cls_idx[:, None], axis=-1)[:, 0]
+    posf = pos.reshape(-1).astype(jnp.float32)
+    n_pos = jnp.maximum(posf.sum(), 1.0)
+    l_iou = 0.5 * jnp.sum((iou_p - jax.lax.stop_gradient(iou_t)) ** 2
+                          * posf) / n_pos
+    losses["loss_mask_iou"] = l_iou
+    return total + l_iou, losses
+
+
+def mask_scoring_rcnn_decode(model, variables, images: Array,
+                             img_shapes: Array, scale_factors: Array,
+                             cfg: TwoStageConfig, tcfg: TestConfig,
+                             rescale: bool = True):
+    """Mask R-CNN decode + maskiou rescoring (score *= predicted IoU)."""
+    det, masks = mask_rcnn_decode(model, variables, images, img_shapes,
+                                  scale_factors, cfg, tcfg, rescale=rescale)
+    feats = model.apply(variables, images, method="extract")
+    boxes = det.bboxes
+    if rescale:
+        boxes = boxes * scale_factors[:, None, :]
+    rois = _rois_with_batch_idx(boxes)
+    mask_logits = model.apply(variables, feats, rois, method="mask_forward")
+    maskiou = model.apply(variables, feats, rois, mask_logits,
+                          method="maskiou_forward")
+    B, Kd = det.bboxes.shape[:2]
+    cls_idx = jnp.clip(det.labels.reshape(-1), 0, maskiou.shape[-1] - 1)
+    iou = jnp.take_along_axis(maskiou, cls_idx[:, None],
+                              axis=-1)[:, 0].reshape(B, Kd)
+    scores = det.scores * jnp.clip(iou, 0.0, 1.0)
+    return det._replace(scores=jnp.where(det.valid, scores, 0.0)), masks

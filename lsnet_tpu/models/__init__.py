@@ -208,6 +208,12 @@ def build_head(cfg: Dict[str, Any]):
                   "pre_anchor_topk", "bbox_thr", "gamma", "alpha"):
             cfg.pop(k, None)
         return RetinaHead(**cfg), loss_cfgs
+    if kind == "PISARetinaHead":
+        # same module as RetinaHead; the PISA reweighting is loss-side
+        for k in ("anchor_generator", "bbox_coder", "train_cfg",
+                  "test_cfg"):
+            cfg.pop(k, None)
+        return RetinaHead(**cfg), loss_cfgs
     if kind in ("RetinaHead", "RetinaSepBNHead", "FCOSHead", "ATSSHead",
                 "GFLHead", "SSDHead", "FoveaHead", "FSAFHead"):
         # assigner/coder/anchor settings live in the loss config, not the
@@ -261,9 +267,11 @@ def build_detector(cfg: Dict[str, Any]):
     backbone = build_backbone(cfg.pop("backbone"))
     neck = build_neck(cfg.pop("neck"))
     if kind in ("FasterRCNN", "TwoStageDetector", "MaskRCNN",
-                "CascadeRCNN", "FastRCNN"):
+                "CascadeRCNN", "FastRCNN", "MaskScoringRCNN"):
         from .heads.two_stage import (CascadeRCNNDetector, FastRCNNDetector,
-                                      FCNMaskHead, MaskRCNNDetector, RPNHead,
+                                      FCNMaskHead, MaskIoUHead,
+                                      MaskRCNNDetector,
+                                      MaskScoringRCNNDetector, RPNHead,
                                       Shared2FCBBoxHead, TwoStageDetector)
         rpn_cfg = dict(cfg.pop("rpn_head", {}))
         rpn_cfg.pop("type", None)
@@ -292,15 +300,21 @@ def build_detector(cfg: Dict[str, Any]):
             det = CascadeRCNNDetector(
                 backbone=backbone, neck=neck, rpn_head=rpn,
                 bbox_head=mk(), bbox_head2=mk(), bbox_head3=mk())
-        elif kind == "MaskRCNN":
+        elif kind in ("MaskRCNN", "MaskScoringRCNN"):
             mh = dict(roi_cfg.get("mask_head", {}))
             mask_head = FCNMaskHead(
                 num_classes=num_classes,
                 conv_channels=mh.get("conv_out_channels", 256),
                 num_convs=mh.get("num_convs", 4))
-            det = MaskRCNNDetector(backbone=backbone, neck=neck,
-                                   rpn_head=rpn, bbox_head=bbox_head,
-                                   mask_head=mask_head)
+            if kind == "MaskScoringRCNN":
+                det = MaskScoringRCNNDetector(
+                    backbone=backbone, neck=neck, rpn_head=rpn,
+                    bbox_head=bbox_head, mask_head=mask_head,
+                    maskiou_head=MaskIoUHead(num_classes=num_classes))
+            else:
+                det = MaskRCNNDetector(backbone=backbone, neck=neck,
+                                       rpn_head=rpn, bbox_head=bbox_head,
+                                       mask_head=mask_head)
         elif kind == "FastRCNN":
             det = FastRCNNDetector(backbone=backbone, neck=neck,
                                    bbox_head=bbox_head)

@@ -226,3 +226,50 @@ class FastRCNNDetector(nn.Module):
         if rois is None:
             rois = jnp.zeros((1, 5), images.dtype)
         return {"roi": self.roi_forward(feats, rois)}
+
+
+class MaskIoUHead(nn.Module):
+    """Mask Scoring R-CNN mask-IoU head (reference
+    `roi_heads/mask_heads/maskiou_head.py`): concat(RoI feats, max-pooled
+    mask pred) -> 4 convs (last stride 2) -> 3 fcs -> per-class IoU."""
+    num_classes: int
+    conv_channels: int = 256
+    fc_channels: int = 1024
+
+    @nn.compact
+    def __call__(self, roi_feats: Array, mask_pred: Array) -> Array:
+        # mask_pred (N, 28, 28, C) -> class-max probability map, 2x maxpool
+        mp = jax.nn.sigmoid(mask_pred.max(axis=-1, keepdims=True))
+        mp = nn.max_pool(mp, (2, 2), strides=(2, 2))
+        x = jnp.concatenate([roi_feats, mp], axis=-1)
+        for i in range(4):
+            stride = 2 if i == 3 else 1
+            x = nn.relu(nn.Conv(self.conv_channels, (3, 3),
+                                strides=(stride, stride),
+                                padding=[(1, 1), (1, 1)],
+                                kernel_init=nn.initializers.normal(0.01),
+                                name=f"maskiou_conv{i}")(x))
+        x = x.reshape(x.shape[0], -1)
+        for i in range(2):
+            x = nn.relu(nn.Dense(self.fc_channels,
+                                 name=f"maskiou_fc{i}")(x))
+        return nn.Dense(self.num_classes, name="maskiou_out")(x)
+
+
+class MaskScoringRCNNDetector(MaskRCNNDetector):
+    """Mask Scoring R-CNN (reference `detectors/mask_scoring_rcnn.py`)."""
+    maskiou_head: nn.Module = None
+
+    def maskiou_forward(self, feats: Sequence[Array], rois: Array,
+                        mask_pred: Array) -> Array:
+        roi_feats = multilevel_roi_align(list(feats), rois, self.strides,
+                                         out_size=(14, 14))
+        return self.maskiou_head(roi_feats, mask_pred)
+
+    def __call__(self, images: Array, rois: Array = None):
+        outs = super().__call__(images, rois)
+        feats = self.extract(images)
+        dummy = (rois if rois is not None
+                 else jnp.zeros((1, 5), images.dtype))
+        outs["maskiou"] = self.maskiou_forward(feats, dummy, outs["mask"])
+        return outs

@@ -86,7 +86,7 @@ def two_stage_cfg_from(cfg, image_shape):
 
 def _is_two_stage(cfg) -> bool:
     return cfg.model.type in ("FasterRCNN", "TwoStageDetector", "MaskRCNN",
-                              "CascadeRCNN")
+                              "CascadeRCNN", "MaskScoringRCNN")
 
 
 def _head_num_vectors(cfg, head) -> int:
@@ -96,7 +96,8 @@ def _head_num_vectors(cfg, head) -> int:
     targets crop real masks, `mask_target.py`) — 36 points, matching the
     segm pipeline, not the 4-vertex bbox default."""
     return head.get("num_vectors",
-                    36 if cfg.model.type == "MaskRCNN" else 4)
+                    36 if cfg.model.type in ("MaskRCNN", "MaskScoringRCNN")
+                    else 4)
 
 
 DENSE_HEAD_KINDS = {"RetinaHead": "retina", "RetinaSepBNHead": "retina",
@@ -104,7 +105,8 @@ DENSE_HEAD_KINDS = {"RetinaHead": "retina", "RetinaSepBNHead": "retina",
                     "ATSSHead": "atss", "GFLHead": "gfl",
                     "SSDHead": "ssd", "FoveaHead": "fovea",
                     "FSAFHead": "fsaf",
-                    "FreeAnchorRetinaHead": "free_anchor"}
+                    "FreeAnchorRetinaHead": "free_anchor",
+                    "PISARetinaHead": "pisa_retina"}
 
 
 def dense_cfg_from(cfg, image_shape):
@@ -326,10 +328,13 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
         if canvas_hw not in step_fns:
             if _is_two_stage(cfg):
                 from ..core.two_stage import (cascade_rcnn_loss,
-                                              mask_rcnn_loss, two_stage_loss)
+                                              mask_rcnn_loss,
+                                              mask_scoring_rcnn_loss,
+                                              two_stage_loss)
                 tscfg = two_stage_cfg_from(cfg, canvas_hw)
                 ts_loss = {"MaskRCNN": mask_rcnn_loss,
-                           "CascadeRCNN": cascade_rcnn_loss}.get(
+                           "CascadeRCNN": cascade_rcnn_loss,
+                           "MaskScoringRCNN": mask_scoring_rcnn_loss}.get(
                                cfg.model.type, two_stage_loss)
                 step_fns[canvas_hw] = make_train_step(
                     model, tx, None, mesh=mesh,
@@ -458,8 +463,12 @@ def evaluate_detector(cfg, model, state, canvas, *, batch_size: int = 8,
                         jnp.asarray(batch["img_shape"]),
                         jnp.asarray(batch["scale_factor"]),
                         tscfg, test_cfg_from(cfg, cv))
-                if cfg.model.type == "MaskRCNN":
-                    det, masks = mask_rcnn_decode(*args)
+                if cfg.model.type in ("MaskRCNN", "MaskScoringRCNN"):
+                    from ..core.two_stage import mask_scoring_rcnn_decode
+                    dec = (mask_scoring_rcnn_decode
+                           if cfg.model.type == "MaskScoringRCNN"
+                           else mask_rcnn_decode)
+                    det, masks = dec(*args)
                     from ..evalkit.evaluator import mask_detections_to_coco
                     segm_dts += mask_detections_to_coco(
                         jax.tree.map(np.asarray, det), np.asarray(masks),

@@ -260,3 +260,40 @@ def test_retina_sepbn_head():
     cfg = DenseLossConfig(image_shape=IMG, num_classes=4, head="retina")
     total, _ = dense_loss(outs, _batch(), cfg)
     assert np.isfinite(float(total))
+
+
+def test_rank_in_groups():
+    from lsnet_tpu.core.dense_loss import _rank_in_groups
+    keys = jnp.asarray([0.9, 0.5, 0.7, 0.3, 0.8], jnp.float32)
+    groups = jnp.asarray([0, 0, 1, 1, 0], jnp.int32)
+    valid = jnp.ones((5,), bool)
+    r = np.asarray(_rank_in_groups(keys, groups, valid))
+    # group 0: keys .9 .5 .8 -> ranks 0 2 1; group 1: .7 .3 -> 0 1
+    np.testing.assert_array_equal(r, [0, 2, 0, 1, 1])
+
+
+@pytest.mark.parametrize("empty", [False, True])
+def test_pisa_retina_loss(empty):
+    from lsnet_tpu.core.dense_loss import DenseLossConfig, dense_loss
+    from lsnet_tpu.models.heads.dense import RetinaHead
+
+    head = RetinaHead(num_classes=4, in_channels=32, feat_channels=32,
+                      stacked_convs=1)
+    feats = _pt_feats()
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    batch = _batch(empty=empty)
+    cfg = DenseLossConfig(image_shape=IMG, num_classes=4,
+                          head="pisa_retina")
+
+    def lf(p):
+        outs = head.apply({"params": p}, feats)
+        return dense_loss(outs, batch, cfg)
+
+    (total, losses), grads = jax.value_and_grad(
+        lambda p: lf(p), has_aux=True)(variables["params"])
+    assert np.isfinite(float(total)), losses
+    assert "loss_carl" in losses
+    gnorm = jnp.sqrt(sum(jnp.sum(g ** 2) for g in jax.tree.leaves(grads)))
+    assert np.isfinite(float(gnorm))
+    if not empty:
+        assert float(gnorm) > 0
