@@ -16,6 +16,7 @@ from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.nms import NEG_INF, batched_nms, box_iou, nms as plain_nms
 from .anchors import (AnchorConfig, anchor_valid_flags, bbox2delta,
@@ -655,3 +656,309 @@ def mask_scoring_rcnn_decode(model, variables, images: Array,
                               axis=-1)[:, 0].reshape(B, Kd)
     scores = det.scores * jnp.clip(iou, 0.0, 1.0)
     return det._replace(scores=jnp.where(det.valid, scores, 0.0)), masks
+
+
+# ---------------------------------------------------------- Grid R-CNN ---
+
+def _grid_sub_regions(grid_points: int, whole: int):
+    """Per-point half-size sub-region origins (Grid R-CNN Plus,
+    `grid_head.py:189-219`)."""
+    gs = int(np.sqrt(grid_points))
+    half = whole // 4 * 2
+    regions = []
+    for i in range(grid_points):
+        xi, yi = i // gs, i % gs
+        if xi == 0:
+            sx = 0
+        elif xi == gs - 1:
+            sx = half
+        else:
+            sx = max(int((xi / (gs - 1) - 0.25) * whole), 0)
+        if yi == 0:
+            sy = 0
+        elif yi == gs - 1:
+            sy = half
+        else:
+            sy = max(int((yi / (gs - 1) - 0.25) * whole), 0)
+        regions.append((sx, sy))
+    return regions, half
+
+
+def grid_targets(pos_bboxes: Array, gt_bboxes: Array, grid_points: int = 9,
+                 whole: int = 56, radius: int = 1) -> Array:
+    """Per-positive-RoI grid-point disk targets in the half-sized
+    sub-region maps (vectorized `grid_head.get_targets`, ref :220-287)."""
+    gs = int(np.sqrt(grid_points))
+    regions, half = _grid_sub_regions(grid_points, whole)
+    x1 = pos_bboxes[:, 0] - (pos_bboxes[:, 2] - pos_bboxes[:, 0]) / 2
+    y1 = pos_bboxes[:, 1] - (pos_bboxes[:, 3] - pos_bboxes[:, 1]) / 2
+    x2 = pos_bboxes[:, 2] + (pos_bboxes[:, 2] - pos_bboxes[:, 0]) / 2
+    y2 = pos_bboxes[:, 3] + (pos_bboxes[:, 3] - pos_bboxes[:, 1]) / 2
+    w = jnp.maximum(x2 - x1, 1e-6)
+    h = jnp.maximum(y2 - y1, 1e-6)
+    big = (w > gs) & (h > gs)
+    maps = []
+    gy, gx = jnp.mgrid[0:half, 0:half]
+    for j in range(grid_points):
+        fx = 1 - (j // gs) / (gs - 1)
+        fy = 1 - (j % gs) / (gs - 1)
+        px = fx * gt_bboxes[:, 0] + (1 - fx) * gt_bboxes[:, 2]
+        py = fy * gt_bboxes[:, 1] + (1 - fy) * gt_bboxes[:, 3]
+        cx = jnp.floor((px - x1) / w * whole).astype(jnp.int32) - regions[j][0]
+        cy = jnp.floor((py - y1) / h * whole).astype(jnp.int32) - regions[j][1]
+        d2 = ((gx[None] - cx[:, None, None]) ** 2
+              + (gy[None] - cy[:, None, None]) ** 2)
+        maps.append(((d2 <= radius ** 2) & big[:, None, None]
+                     ).astype(jnp.float32))
+    return jnp.stack(maps, axis=-1)                       # (S, half, half, G)
+
+
+def grid_rcnn_loss(model, variables, batch: Dict[str, Array],
+                   cfg: TwoStageConfig, *, grid_points: int = 9,
+                   loss_weight: float = 15.0):
+    """Faster R-CNN rpn+cls losses + grid heatmap BCE (fused + unfused,
+    reference `grid_roi_head.forward_train` + `grid_head.loss`)."""
+    total, losses = two_stage_loss(model, variables, batch, cfg)
+    feats = model.apply(variables, batch["image"], method="extract")
+    rpn_outs = model.apply(variables, feats, method="rpn")
+    props, pvalid = rpn_proposals(
+        jax.tree.map(jax.lax.stop_gradient, rpn_outs),
+        batch["img_shape"], cfg)
+    rois, labels, deltas, pos, valid = sample_rois(
+        props, pvalid, batch["gt_bboxes"], batch["gt_valid"],
+        batch["gt_labels"], cfg)
+    B, S = rois.shape[:2]
+    grid_out = model.apply(variables, feats, _rois_with_batch_idx(rois),
+                           method="grid_forward")
+
+    def gt_of(rois_i, gts, gvalid):
+        ious = box_iou(rois_i, gts)
+        return jnp.where(gvalid[None, :], ious, -1.0).argmax(axis=1)
+
+    gt_idx = jax.vmap(gt_of)(rois, batch["gt_bboxes"], batch["gt_valid"])
+    flat_gt = jnp.take_along_axis(batch["gt_bboxes"],
+                                  gt_idx[..., None], axis=1)
+    tgt = grid_targets(rois.reshape(B * S, 4), flat_gt.reshape(B * S, 4),
+                       grid_points)
+    posf = pos.reshape(-1).astype(jnp.float32)[:, None, None, None]
+    n_pos = jnp.maximum(posf.sum(), 1.0)
+    l_grid = 0.0
+    for key in ("fused", "unfused"):
+        logits = grid_out[key].astype(jnp.float32)
+        bce = (jnp.maximum(logits, 0) - logits * tgt
+               + jnp.log1p(jnp.exp(-jnp.abs(logits))))
+        l_grid = l_grid + jnp.sum(bce.mean(axis=(1, 2, 3),
+                                           keepdims=True) * posf) / n_pos
+    losses["loss_grid"] = l_grid * loss_weight
+    return total + losses["loss_grid"], losses
+
+
+def grid_rcnn_decode(model, variables, images: Array, img_shapes: Array,
+                     scale_factors: Array, cfg: TwoStageConfig,
+                     tcfg: TestConfig, rescale: bool = True,
+                     grid_points: int = 9) -> Detections:
+    """two_stage decode, then box edges re-localized by grid-point heatmap
+    voting (reference `grid_head.get_bboxes`, :294-370)."""
+    det = two_stage_decode(model, variables, images, img_shapes,
+                           scale_factors, cfg, tcfg, rescale=False)
+    feats = model.apply(variables, images, method="extract")
+    boxes = det.bboxes
+    B, Kd = boxes.shape[:2]
+    grid_out = model.apply(variables, feats,
+                           _rois_with_batch_idx(boxes),
+                           method="grid_forward")
+    hm = jax.nn.sigmoid(grid_out["fused"].astype(jnp.float32))
+    R, hh, ww, G = hm.shape
+    gs = int(np.sqrt(grid_points))
+    regions, half = _grid_sub_regions(grid_points, hh * 2)
+    flat = hm.transpose(0, 3, 1, 2).reshape(R, G, hh * ww)
+    score = flat.max(-1)
+    posn = flat.argmax(-1)
+    xs = (posn % ww).astype(jnp.float32) \
+        + jnp.asarray([r[0] for r in regions], jnp.float32)[None, :]
+    ys = (posn // ww).astype(jnp.float32) \
+        + jnp.asarray([r[1] for r in regions], jnp.float32)[None, :]
+    fb = boxes.reshape(R, 4)
+    wdt = fb[:, 2] - fb[:, 0]
+    hgt = fb[:, 3] - fb[:, 1]
+    ex1 = fb[:, 0] - wdt / 2
+    ey1 = fb[:, 1] - hgt / 2
+    whole = float(hh * 2)
+    ax = (xs + 0.5) / whole * (2 * wdt)[:, None] + ex1[:, None]
+    ay = (ys + 0.5) / whole * (2 * hgt)[:, None] + ey1[:, None]
+    x1i = [i for i in range(gs)]
+    y1i = [i * gs for i in range(gs)]
+    x2i = [grid_points - gs + i for i in range(gs)]
+    y2i = [(i + 1) * gs - 1 for i in range(gs)]
+
+    def vote(vals, sc, idx):
+        s = sc[:, idx]
+        return (vals[:, idx] * s).sum(-1) / jnp.maximum(s.sum(-1), 1e-6)
+
+    nx1 = vote(ax, score, x1i)
+    ny1 = vote(ay, score, y1i)
+    nx2 = vote(ax, score, x2i)
+    ny2 = vote(ay, score, y2i)
+    new = jnp.stack([nx1, ny1, nx2, ny2], -1).reshape(B, Kd, 4)
+    shp = img_shapes.astype(jnp.float32)
+    new = jnp.stack([jnp.clip(new[..., 0], 0, shp[:, None, 1]),
+                     jnp.clip(new[..., 1], 0, shp[:, None, 0]),
+                     jnp.clip(new[..., 2], 0, shp[:, None, 1]),
+                     jnp.clip(new[..., 3], 0, shp[:, None, 0])], -1)
+    if rescale:
+        new = new / scale_factors[:, None, :]
+    new = new * det.valid[..., None].astype(new.dtype)
+    return det._replace(bboxes=new)
+
+
+# ------------------------------------------------------------------ HTC ---
+
+def htc_loss(model, variables, batch: Dict[str, Array],
+             cfg: TwoStageConfig, *, sem_loss_weight: float = 0.2):
+    """Hybrid Task Cascade training (reference
+    `htc_roi_head.forward_train`, interleaved): per stage — bbox loss,
+    refine, mask loss on the refined rois with mask info flow; plus the
+    semantic branch CE. Requires the segm pipeline's gt_polygons."""
+    feats = model.apply(variables, batch["image"], method="extract")
+    rpn_outs = model.apply(variables, feats, method="rpn")
+    l_rpn_cls, l_rpn_reg = rpn_loss(rpn_outs, batch, cfg)
+    props, pvalid = rpn_proposals(
+        jax.tree.map(jax.lax.stop_gradient, rpn_outs),
+        batch["img_shape"], cfg)
+    sem_logits, sem_feat = model.apply(variables, feats, method="semantic")
+    losses = {"loss_rpn_cls": l_rpn_cls, "loss_rpn_bbox": l_rpn_reg}
+    total = l_rpn_cls + l_rpn_reg
+    B = props.shape[0]
+    S = cfg.rcnn_num_samples
+    last_feat = None
+    for st in range(3):
+        scfg = TwoStageConfig(
+            **{**cfg.__dict__, "rcnn_pos_iou": CASCADE_IOUS[st],
+               "rcnn_stds": CASCADE_STDS[st]})
+        rois, labels, deltas, pos, valid = sample_rois(
+            props, pvalid, batch["gt_bboxes"], batch["gt_valid"],
+            batch["gt_labels"], scfg)
+        rois5 = _rois_with_batch_idx(rois)
+        cls_logits, reg = model.apply(
+            variables, feats, rois5, st, sem_feat,
+            method="roi_forward_stage")
+        l_cls, l_reg = _cascade_stage_loss(cls_logits, reg, labels, deltas,
+                                           pos, valid, cfg.num_classes)
+        w = CASCADE_WEIGHTS[st]
+        losses[f"s{st}.loss_cls"] = l_cls * w
+        losses[f"s{st}.loss_bbox"] = l_reg * w
+        total = total + (l_cls + l_reg) * w
+        # interleaved: refine rois BEFORE the mask branch (ref :268-290)
+        refined = delta2bbox(
+            rois.reshape(B * S, 4),
+            jax.lax.stop_gradient(reg).astype(jnp.float32),
+            stds=CASCADE_STDS[st],
+            max_shape=(cfg.image_shape[0], cfg.image_shape[1]))
+        props = refined.reshape(B, S, 4)
+        pvalid = valid
+        mrois = _rois_with_batch_idx(props)
+        mask_logits, last_feat = model.apply(
+            variables, feats, mrois, st, sem_feat, last_feat,
+            method="mask_forward_stage")
+
+        def gt_of(rois_i, gts, gvalid):
+            ious = box_iou(rois_i, gts)
+            return jnp.where(gvalid[None, :], ious, -1.0).argmax(axis=1)
+
+        gt_idx = jax.vmap(gt_of)(props, batch["gt_bboxes"],
+                                 batch["gt_valid"])
+        l_mask = mask_loss(
+            mask_logits, props.reshape(B * S, 4), labels.reshape(-1),
+            pos.reshape(-1),
+            batch["gt_polygons"].reshape(-1,
+                                         batch["gt_polygons"].shape[-1]),
+            (gt_idx + jnp.arange(B)[:, None]
+             * batch["gt_polygons"].shape[1]).reshape(-1), cfg)
+        losses[f"s{st}.loss_mask"] = l_mask * w
+        total = total + l_mask * w
+
+    # semantic CE against the box-derived class map (the reference trains
+    # on stuff+thing panoptic maps, unavailable in a detection-only
+    # pipeline — boxes are the best offline supervision here)
+    from .cpv import make_sem_targets
+    sem_map, sem_w = make_sem_targets(
+        batch["gt_bboxes"], batch["gt_labels"], batch["gt_valid"],
+        cfg.image_shape, cfg.num_classes)
+    sh, sw = sem_logits.shape[1:3]
+    tgt = jax.image.resize(sem_map, (sem_map.shape[0], sh, sw,
+                                     sem_map.shape[-1]), method="nearest")
+    cls_map = jnp.where(tgt.max(-1) > 0, tgt.argmax(-1),
+                        cfg.num_classes)
+    logp = jax.nn.log_softmax(sem_logits.astype(jnp.float32), -1)
+    ce = -jnp.take_along_axis(logp, cls_map[..., None], axis=-1)[..., 0]
+    losses["loss_semantic_seg"] = ce.mean() * sem_loss_weight
+    total = total + losses["loss_semantic_seg"]
+    return total, losses
+
+
+def htc_decode(model, variables, images: Array, img_shapes: Array,
+               scale_factors: Array, cfg: TwoStageConfig,
+               tcfg: TestConfig, rescale: bool = True):
+    """HTC simple_test: cascade box ensemble + per-stage masks averaged on
+    the final boxes (reference `htc_roi_head.simple_test` merge)."""
+    feats = model.apply(variables, images, method="extract")
+    rpn_outs = model.apply(variables, feats, method="rpn")
+    _, sem_feat = model.apply(variables, feats, method="semantic")
+    props, pvalid = rpn_proposals(rpn_outs, img_shapes, cfg)
+    B, P, _ = props.shape
+    C = cfg.num_classes
+    scores_sum = 0.0
+    for st in range(3):
+        cls_logits, reg = model.apply(
+            variables, feats, _rois_with_batch_idx(props), st, sem_feat,
+            method="roi_forward_stage")
+        scores_sum = scores_sum + jax.nn.softmax(
+            cls_logits.astype(jnp.float32), -1)
+        refined = delta2bbox(props.reshape(B * P, 4),
+                             reg.astype(jnp.float32),
+                             stds=CASCADE_STDS[st])
+        props = refined.reshape(B, P, 4)
+    probs = (scores_sum / 3.0).reshape(B, P, C + 1)[..., :C]
+    probs = probs * pvalid[..., None].astype(probs.dtype)
+
+    def single(props_i, probs_i, img_shape, sf):
+        x1 = jnp.clip(props_i[:, 0], 0, img_shape[1])
+        y1 = jnp.clip(props_i[:, 1], 0, img_shape[0])
+        x2 = jnp.clip(props_i[:, 2], 0, img_shape[1])
+        y2 = jnp.clip(props_i[:, 3], 0, img_shape[0])
+        boxes = jnp.stack([x1, y1, x2, y2], -1)
+        if rescale:
+            boxes = boxes / sf[None, :]
+        flat_scores = probs_i.reshape(P * C)
+        flat_labels = jnp.tile(jnp.arange(C, dtype=jnp.int32), (P,))
+        flat_boxes = jnp.repeat(boxes, C, axis=0)
+        cand = jnp.where(flat_scores > tcfg.score_thr, flat_scores, NEG_INF)
+        k = min(tcfg.nms_pre, P * C)
+        top_s, top_i = jax.lax.top_k(cand, k)
+        keep_idx, keep_s, keep_v = batched_nms(
+            flat_boxes[top_i], top_s, flat_labels[top_i], tcfg.nms_iou,
+            tcfg.max_per_img)
+        z = keep_v[:, None].astype(boxes.dtype)
+        return Detections(flat_boxes[top_i][keep_idx] * z,
+                          jnp.where(keep_v, keep_s, 0.0),
+                          flat_labels[top_i][keep_idx] * keep_v,
+                          jnp.zeros((tcfg.max_per_img, 8), boxes.dtype),
+                          keep_v)
+
+    det = jax.vmap(single)(props, probs, img_shapes, scale_factors)
+    boxes = det.bboxes
+    if rescale:
+        boxes = boxes * scale_factors[:, None, :]
+    rois = _rois_with_batch_idx(boxes)
+    msum = 0.0
+    last = None
+    for st in range(3):
+        m, last = model.apply(variables, feats, rois, st, sem_feat, last,
+                              method="mask_forward_stage")
+        msum = msum + jax.nn.sigmoid(m.astype(jnp.float32))
+    B2, K2 = det.bboxes.shape[:2]
+    oh = msum.shape[1]
+    cls_idx = jnp.clip(det.labels.reshape(-1), 0, msum.shape[-1] - 1)
+    sel = jnp.take_along_axis(msum / 3.0, cls_idx[:, None, None, None],
+                              axis=-1)[..., 0]
+    return det, sel.reshape(B2, K2, oh, oh)

@@ -267,9 +267,12 @@ def build_detector(cfg: Dict[str, Any]):
     backbone = build_backbone(cfg.pop("backbone"))
     neck = build_neck(cfg.pop("neck"))
     if kind in ("FasterRCNN", "TwoStageDetector", "MaskRCNN",
-                "CascadeRCNN", "FastRCNN", "MaskScoringRCNN"):
+                "CascadeRCNN", "FastRCNN", "MaskScoringRCNN", "GridRCNN",
+                "HybridTaskCascade", "HTC"):
         from .heads.two_stage import (CascadeRCNNDetector, FastRCNNDetector,
-                                      FCNMaskHead, MaskIoUHead,
+                                      FCNMaskHead, FusedSemanticHead,
+                                      GridHead, GridRCNNDetector,
+                                      HTCDetector, HTCMaskHead, MaskIoUHead,
                                       MaskRCNNDetector,
                                       MaskScoringRCNNDetector, RPNHead,
                                       Shared2FCBBoxHead, TwoStageDetector)
@@ -292,7 +295,22 @@ def build_detector(cfg: Dict[str, Any]):
             num_classes=num_classes,
             fc_channels=bh.get("fc_out_channels", 1024),
             reg_class_agnostic=bh.get("reg_class_agnostic", False))
-        if kind == "CascadeRCNN":
+        if kind in ("HybridTaskCascade", "HTC"):
+            mh = dict(roi_cfg.get("mask_head", {}))
+            mk_b = lambda: Shared2FCBBoxHead(            # noqa: E731
+                num_classes=num_classes,
+                fc_channels=bh.get("fc_out_channels", 1024),
+                reg_class_agnostic=True)
+            mk_m = lambda: HTCMaskHead(                  # noqa: E731
+                num_classes=num_classes,
+                conv_channels=mh.get("conv_out_channels", 256),
+                num_convs=mh.get("num_convs", 4))
+            det = HTCDetector(
+                backbone=backbone, neck=neck, rpn_head=rpn,
+                bbox_head=mk_b(), bbox_head2=mk_b(), bbox_head3=mk_b(),
+                mask_head1=mk_m(), mask_head2=mk_m(), mask_head3=mk_m(),
+                semantic_head=FusedSemanticHead(num_classes=num_classes))
+        elif kind == "CascadeRCNN":
             mk = lambda: Shared2FCBBoxHead(             # noqa: E731
                 num_classes=num_classes,
                 fc_channels=bh.get("fc_out_channels", 1024),
@@ -318,6 +336,15 @@ def build_detector(cfg: Dict[str, Any]):
         elif kind == "FastRCNN":
             det = FastRCNNDetector(backbone=backbone, neck=neck,
                                    bbox_head=bbox_head)
+        elif kind == "GridRCNN":
+            gh = dict(roi_cfg.get("grid_head", {}))
+            det = GridRCNNDetector(
+                backbone=backbone, neck=neck, rpn_head=rpn,
+                bbox_head=bbox_head,
+                grid_head=GridHead(
+                    grid_points=gh.get("grid_points", 9),
+                    num_convs=gh.get("num_convs", 8),
+                    point_feat_channels=gh.get("point_feat_channels", 64)))
         else:
             det = TwoStageDetector(backbone=backbone, neck=neck,
                                    rpn_head=rpn, bbox_head=bbox_head)

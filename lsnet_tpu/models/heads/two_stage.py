@@ -19,6 +19,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ...ops.roi import roi_align
@@ -272,4 +273,227 @@ class MaskScoringRCNNDetector(MaskRCNNDetector):
         dummy = (rois if rois is not None
                  else jnp.zeros((1, 5), images.dtype))
         outs["maskiou"] = self.maskiou_forward(feats, dummy, outs["mask"])
+        return outs
+
+
+class GridHead(nn.Module):
+    """Grid R-CNN grid head (reference
+    `roi_heads/mask_heads/grid_head.py:11-219`): 8 GN convs (first stride
+    2), first+second-order fusion between neighboring grid points
+    (5x5 depthwise + 1x1 per edge), two grouped 2x deconvs to per-point
+    28x28 heatmaps (the Grid R-CNN Plus half-sized sub-region maps)."""
+    grid_points: int = 9
+    num_convs: int = 8
+    roi_feat_size: int = 14
+    point_feat_channels: int = 64
+
+    @property
+    def grid_size(self) -> int:
+        return int(np.sqrt(self.grid_points))
+
+    def neighbors(self):
+        gs = self.grid_size
+        out = []
+        for i in range(gs):
+            for j in range(gs):
+                n = []
+                if i > 0:
+                    n.append((i - 1) * gs + j)
+                if j > 0:
+                    n.append(i * gs + j - 1)
+                if j < gs - 1:
+                    n.append(i * gs + j + 1)
+                if i < gs - 1:
+                    n.append((i + 1) * gs + j)
+                out.append(tuple(n))
+        return out
+
+    @nn.compact
+    def __call__(self, roi_feats: Array) -> Dict[str, Array]:
+        G = self.grid_points
+        c = self.point_feat_channels
+        C = G * c
+        x = roi_feats
+        for i in range(self.num_convs):
+            stride = 2 if i == 0 else 1
+            x = nn.Conv(C, (3, 3), strides=(stride, stride),
+                        padding=[(1, 1), (1, 1)], name=f"conv{i}")(x)
+            x = nn.GroupNorm(num_groups=G * 4, name=f"gn{i}")(x)
+            x = nn.relu(x)
+
+        def trans(prefix, i, j, src):
+            h = nn.Conv(c, (5, 5), padding=[(2, 2), (2, 2)],
+                        feature_group_count=c,
+                        name=f"{prefix}_{i}_{j}_dw")(src)
+            return nn.Conv(c, (1, 1), name=f"{prefix}_{i}_{j}_pw")(h)
+
+        nbrs = self.neighbors()
+        slc = lambda t, i: t[..., i * c:(i + 1) * c]       # noqa: E731
+        x_fo = []
+        for i, pts in enumerate(nbrs):
+            acc = slc(x, i)
+            for j, p in enumerate(pts):
+                acc = acc + trans("fo", i, j, slc(x, p))
+            x_fo.append(acc)
+        x_so = []
+        for i, pts in enumerate(nbrs):
+            acc = slc(x, i)
+            for j, p in enumerate(pts):
+                acc = acc + trans("so", i, j, x_fo[p])
+            x_so.append(acc)
+
+        # deconv weights are SHARED between the fused and unfused paths
+        # (reference uses the same self.deconv1/2 for both)
+        dec1 = [nn.ConvTranspose(c, (4, 4), strides=(2, 2), padding="SAME",
+                                 name=f"deconv1_g{g}") for g in range(G)]
+        dec2 = [nn.ConvTranspose(1, (4, 4), strides=(2, 2), padding="SAME",
+                                 name=f"deconv2_g{g}") for g in range(G)]
+        gn1 = nn.GroupNorm(num_groups=G, name="deconv1_gn")
+
+        def heatmap_from(xin):
+            h = jnp.concatenate([dec1[g](slc(xin, g)) for g in range(G)],
+                                axis=-1)
+            h = nn.relu(gn1(h))
+            return jnp.concatenate([dec2[g](slc(h, g)) for g in range(G)],
+                                   axis=-1)               # (N, 28, 28, G)
+
+        fused = heatmap_from(jnp.concatenate(x_so, axis=-1))
+        unfused = heatmap_from(x)
+        return {"fused": fused, "unfused": unfused}
+
+
+class GridRCNNDetector(TwoStageDetector):
+    """Grid R-CNN (reference `detectors/grid_rcnn.py`): second-stage box
+    localization by grid-point heatmaps instead of delta regression."""
+    grid_head: nn.Module = None
+
+    def grid_forward(self, feats: Sequence[Array], rois: Array
+                     ) -> Dict[str, Array]:
+        roi_feats = multilevel_roi_align(list(feats), rois, self.strides,
+                                         out_size=(14, 14))
+        return self.grid_head(roi_feats)
+
+    def __call__(self, images: Array, rois: Array = None):
+        outs = super().__call__(images, rois)
+        feats = self.extract(images)
+        dummy = (rois if rois is not None
+                 else jnp.zeros((1, 5), images.dtype))
+        outs["grid"] = self.grid_forward(feats, dummy)
+        return outs
+
+
+class FusedSemanticHead(nn.Module):
+    """HTC multi-level fused semantic head (reference
+    `roi_heads/mask_heads/fused_semantic_head.py`): per-level 1x1
+    laterals resized to the fusion level, 4x 3x3 convs, a 1x1 embedding
+    (fused into RoI feats) and 1x1 logits."""
+    num_classes: int
+    fusion_level: int = 1
+    num_convs: int = 4
+    conv_channels: int = 256
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array]) -> Tuple[Array, Array]:
+        tgt = feats[self.fusion_level]
+        x = nn.relu(nn.Conv(self.conv_channels, (1, 1),
+                            name=f"lateral_{self.fusion_level}")(tgt))
+        th, tw = tgt.shape[1:3]
+        for i, f in enumerate(feats):
+            if i == self.fusion_level:
+                continue
+            l = nn.relu(nn.Conv(self.conv_channels, (1, 1),
+                                name=f"lateral_{i}")(f))
+            l = jax.image.resize(l, (l.shape[0], th, tw, l.shape[3]),
+                                 method="bilinear")
+            x = x + l
+        for i in range(self.num_convs):
+            x = nn.relu(nn.Conv(self.conv_channels, (3, 3),
+                                padding=[(1, 1), (1, 1)],
+                                name=f"conv{i}")(x))
+        embedding = nn.relu(nn.Conv(self.conv_channels, (1, 1),
+                                    name="conv_embedding")(x))
+        logits = nn.Conv(self.num_classes + 1, (1, 1),
+                         name="conv_logits")(x)
+        return logits, embedding
+
+
+class HTCMaskHead(nn.Module):
+    """HTC mask head with info flow (reference
+    `roi_heads/mask_heads/htc_mask_head.py`): previous stage's mask feats
+    enter through a 1x1 res conv."""
+    num_classes: int
+    conv_channels: int = 256
+    num_convs: int = 4
+
+    @nn.compact
+    def __call__(self, roi_feats: Array, last_feat: Array = None
+                 ) -> Tuple[Array, Array]:
+        x = roi_feats
+        if last_feat is not None:
+            x = x + nn.relu(nn.Conv(self.conv_channels, (1, 1),
+                                    name="conv_res")(last_feat))
+        for i in range(self.num_convs):
+            x = nn.relu(nn.Conv(self.conv_channels, (3, 3),
+                                padding=[(1, 1), (1, 1)],
+                                kernel_init=nn.initializers.normal(0.01),
+                                name=f"mask_conv{i}")(x))
+        feat = x
+        x = nn.relu(nn.ConvTranspose(self.conv_channels, (2, 2),
+                                     strides=(2, 2), name="mask_upsample")(x))
+        logits = nn.Conv(self.num_classes, (1, 1),
+                         kernel_init=nn.initializers.normal(0.001),
+                         name="mask_logits")(x)
+        return logits, feat
+
+
+class HTCDetector(TwoStageDetector):
+    """Hybrid Task Cascade (reference `detectors/htc.py` +
+    `roi_heads/htc_roi_head.py`): 3-stage cascade with per-stage mask
+    heads (mask info flow) and a fused semantic branch whose RoI features
+    add into both bbox and mask RoI feats."""
+    bbox_head2: nn.Module = None
+    bbox_head3: nn.Module = None
+    mask_head1: nn.Module = None
+    mask_head2: nn.Module = None
+    mask_head3: nn.Module = None
+    semantic_head: nn.Module = None
+
+    def semantic(self, feats: Sequence[Array]) -> Tuple[Array, Array]:
+        return self.semantic_head(feats)
+
+    def _sem_roi(self, sem_feat: Array, rois: Array, out_size):
+        # semantic RoI features: single map at the fusion-level stride (8)
+        return multilevel_roi_align([sem_feat], rois, (8,),
+                                    out_size=out_size)
+
+    def roi_forward_stage(self, feats, rois, stage, sem_feat=None):
+        roi_feats = multilevel_roi_align(list(feats), rois, self.strides)
+        if sem_feat is not None:
+            roi_feats = roi_feats + self._sem_roi(sem_feat, rois, (7, 7))
+        head = (self.bbox_head, self.bbox_head2, self.bbox_head3)[stage]
+        return head(roi_feats)
+
+    def mask_forward_stage(self, feats, rois, stage, sem_feat=None,
+                           last_feat=None):
+        roi_feats = multilevel_roi_align(list(feats), rois, self.strides,
+                                         out_size=(14, 14))
+        if sem_feat is not None:
+            roi_feats = roi_feats + self._sem_roi(sem_feat, rois, (14, 14))
+        head = (self.mask_head1, self.mask_head2, self.mask_head3)[stage]
+        return head(roi_feats, last_feat)
+
+    def __call__(self, images: Array, rois: Array = None):
+        feats = self.extract(images)
+        outs = self.rpn(feats)
+        sem_logits, sem_feat = self.semantic(feats)
+        outs["sem"] = sem_logits
+        dummy = (rois if rois is not None
+                 else jnp.zeros((1, 5), images.dtype))
+        last = None
+        for st in range(3):
+            outs[f"roi{st}"] = self.roi_forward_stage(feats, dummy, st,
+                                                      sem_feat)
+            m, last = self.mask_forward_stage(feats, dummy, st, sem_feat,
+                                              last)
+            outs[f"mask{st}"] = m
         return outs

@@ -35,9 +35,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-# flag: use the Pallas path inside the flat-deform engine (grouped convs);
-# override with LSNET_PALLAS_GROUPED=0
-ENABLED = [os.environ.get("LSNET_PALLAS_GROUPED", "1") != "0"]
+# Flag: use the Pallas path inside the flat-deform engine (grouped convs).
+# DEFAULT OFF for the forward hot path: measured on v5e, the kernel wins
+# standalone (stage3 1.58 ms vs 3.20 dense, stage4 1.29 vs 3.65) but LOSES
+# in the full backbone (553.6 ms vs 356.3 @B4) — XLA fuses the 4-corner
+# gather-accumulate directly into the dense matmul's operand read, and
+# pallas_call forces the ~300 MB patch tensor to materialize instead. The
+# kernel is kept flag-gated (LSNET_PALLAS_GROUPED=1) + parity-tested for
+# chips where the fusion/bandwidth balance differs (docs/PERF.md round 3).
+ENABLED = [os.environ.get("LSNET_PALLAS_GROUPED", "0") == "1"]
 
 
 def _interpret() -> bool:

@@ -86,7 +86,8 @@ def two_stage_cfg_from(cfg, image_shape):
 
 def _is_two_stage(cfg) -> bool:
     return cfg.model.type in ("FasterRCNN", "TwoStageDetector", "MaskRCNN",
-                              "CascadeRCNN", "MaskScoringRCNN")
+                              "CascadeRCNN", "MaskScoringRCNN",
+                              "GridRCNN", "HybridTaskCascade", "HTC")
 
 
 def _head_num_vectors(cfg, head) -> int:
@@ -96,7 +97,8 @@ def _head_num_vectors(cfg, head) -> int:
     targets crop real masks, `mask_target.py`) — 36 points, matching the
     segm pipeline, not the 4-vertex bbox default."""
     return head.get("num_vectors",
-                    36 if cfg.model.type in ("MaskRCNN", "MaskScoringRCNN")
+                    36 if cfg.model.type in ("MaskRCNN", "MaskScoringRCNN",
+                                             "HybridTaskCascade", "HTC")
                     else 4)
 
 
@@ -255,7 +257,8 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
         "bbox_head", cfg.model.get("roi_head", {}).get("bbox_head", {}))
     task = {"bbox": "bbox", "segm": "segm",
             "pose_bbox": "pose", "pose_kbox": "pose"}[head.get("task", "bbox")]
-    if cfg.model.type == "MaskRCNN":
+    if cfg.model.type in ("MaskRCNN", "MaskScoringRCNN",
+                          "HybridTaskCascade", "HTC"):
         task = "segm"   # the pipeline must carry gt_polygons for mask loss
     data_cfg = cfg.data
     raw_scale = data_cfg.train.get("img_scale", (1333, 800))
@@ -332,9 +335,13 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
                                               mask_scoring_rcnn_loss,
                                               two_stage_loss)
                 tscfg = two_stage_cfg_from(cfg, canvas_hw)
+                from ..core.two_stage import grid_rcnn_loss, htc_loss
                 ts_loss = {"MaskRCNN": mask_rcnn_loss,
                            "CascadeRCNN": cascade_rcnn_loss,
-                           "MaskScoringRCNN": mask_scoring_rcnn_loss}.get(
+                           "MaskScoringRCNN": mask_scoring_rcnn_loss,
+                           "GridRCNN": grid_rcnn_loss,
+                           "HybridTaskCascade": htc_loss,
+                           "HTC": htc_loss}.get(
                                cfg.model.type, two_stage_loss)
                 step_fns[canvas_hw] = make_train_step(
                     model, tx, None, mesh=mesh,
@@ -475,6 +482,16 @@ def evaluate_detector(cfg, model, state, canvas, *, batch_size: int = 8,
                         batch["img_id"], label_to_cat, img_sizes)
                 elif cfg.model.type == "CascadeRCNN":
                     det = cascade_rcnn_decode(*args)
+                elif cfg.model.type == "GridRCNN":
+                    from ..core.two_stage import grid_rcnn_decode
+                    det = grid_rcnn_decode(*args)
+                elif cfg.model.type in ("HybridTaskCascade", "HTC"):
+                    from ..core.two_stage import htc_decode
+                    from ..evalkit.evaluator import mask_detections_to_coco
+                    det, masks = htc_decode(*args)
+                    segm_dts += mask_detections_to_coco(
+                        jax.tree.map(np.asarray, det), np.asarray(masks),
+                        batch["img_id"], label_to_cat, img_sizes)
                 else:
                     det = two_stage_decode(*args)
             else:

@@ -438,3 +438,54 @@ def test_mask_scoring_rcnn():
         jnp.ones((1, 4), jnp.float32), cfg, tcfg)
     assert masks.shape[:2] == (1, 8)
     assert np.isfinite(np.asarray(det.scores)).all()
+
+
+def test_grid_rcnn():
+    """Grid R-CNN: grid heatmap loss trains and grid decode runs."""
+    import jax
+    import jax.numpy as jnp
+
+    from lsnet_tpu.core.decode import TestConfig
+    from lsnet_tpu.core.two_stage import (TwoStageConfig, grid_rcnn_decode,
+                                          grid_rcnn_loss, grid_targets)
+    from lsnet_tpu.models import build_detector
+
+    # target semantics: the center grid point of an aligned roi lands in
+    # the middle of its sub-region map
+    t = grid_targets(jnp.asarray([[10.0, 10, 42, 42]]),
+                     jnp.asarray([[10.0, 10, 42, 42]]))
+    assert t.shape == (1, 28, 28, 9)
+    assert float(t.sum()) > 0
+
+    model, _ = build_detector(dict(
+        type="GridRCNN",
+        backbone=dict(type="ResNet", depth=18, num_stages=4,
+                      out_indices=(0, 1, 2, 3), frozen_stages=-1),
+        neck=dict(type="FPN", out_channels=32, num_outs=5),
+        roi_head=dict(bbox_head=dict(num_classes=4, fc_out_channels=64),
+                      grid_head=dict(grid_points=9, num_convs=2,
+                                     point_feat_channels=8))))
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    cfg = TwoStageConfig(image_shape=(64, 64), num_classes=4,
+                         nms_pre=64, proposal_count=16, rcnn_num_samples=8)
+    batch = {
+        "image": img,
+        "img_shape": jnp.asarray([[64, 64]], jnp.int32),
+        "gt_bboxes": jnp.asarray([[[8, 8, 40, 40], [0, 0, 0, 0]]],
+                                 jnp.float32),
+        "gt_labels": jnp.asarray([[1, 0]], jnp.int32),
+        "gt_valid": jnp.asarray([[True, False]]),
+    }
+    total, losses = grid_rcnn_loss(model, variables, batch, cfg)
+    assert np.isfinite(float(total))
+    assert "loss_grid" in losses
+    tcfg = TestConfig(image_shape=(64, 64), num_classes=4, task="bbox",
+                      num_vectors=4, nms_pre=64, score_thr=0.0,
+                      nms_iou=0.5, max_per_img=8)
+    det = grid_rcnn_decode(model, variables, img,
+                           jnp.asarray([[64, 64]], jnp.int32),
+                           jnp.ones((1, 4), jnp.float32), cfg, tcfg)
+    b = np.asarray(det.bboxes)
+    assert np.isfinite(b).all()
+    assert (b[..., 2] >= b[..., 0] - 1e-3).all()
