@@ -90,18 +90,19 @@ def init_detector(config: Union[str, Config],
                      "batch_stats": state.batch_stats}
     if cfg.model.type in ("FasterRCNN", "TwoStageDetector", "MaskRCNN",
                           "CascadeRCNN", "MaskScoringRCNN", "GridRCNN",
-                          "HybridTaskCascade", "HTC"):
+                          "HybridTaskCascade", "HTC", "PointRend"):
         from .core.two_stage import (cascade_rcnn_decode, grid_rcnn_decode,
                                      htc_decode, mask_rcnn_decode,
                                      mask_scoring_rcnn_decode,
-                                     two_stage_decode)
+                                     point_rend_decode, two_stage_decode)
         from .train.loop import two_stage_cfg_from
         ts_decode = {"MaskRCNN": mask_rcnn_decode,
                      "CascadeRCNN": cascade_rcnn_decode,
                      "MaskScoringRCNN": mask_scoring_rcnn_decode,
                      "GridRCNN": grid_rcnn_decode,
                      "HybridTaskCascade": htc_decode,
-                     "HTC": htc_decode}.get(
+                     "HTC": htc_decode,
+                     "PointRend": point_rend_decode}.get(
                          cfg.model.type, two_stage_decode)
 
         bundle = DetectorBundle(model, variables, cfg, canvas, None, None)

@@ -265,7 +265,8 @@ def dense_loss(outs, batch, cfg: DenseLossConfig):
             "atss": atss_loss, "gfl": gfl_loss, "ssd": ssd_loss,
             "fovea": fovea_loss, "fsaf": fsaf_loss,
             "free_anchor": free_anchor_loss,
-            "pisa_retina": pisa_retina_loss}[cfg.head](outs, batch, cfg)
+            "pisa_retina": pisa_retina_loss,
+            "ga_retina": ga_retina_loss}[cfg.head](outs, batch, cfg)
 
 
 # ------------------------------------------------------------------- GFL ---
@@ -776,4 +777,113 @@ def pisa_retina_loss(outs: Dict[str, Sequence[Array]],
                                      batch["img_shape"])
     losses = {"loss_cls": lc.mean(), "loss_bbox": lb.mean(),
               "loss_carl": lcarl.mean()}
+    return sum(losses.values()), losses
+
+
+# ------------------------------------------------------ Guided Anchoring ---
+
+def _ga_guided_anchors(outs, cfg: DenseLossConfig, octave_base: float = 8.0):
+    """Per-cell guided anchors from the shape branch: square base
+    ``octave_base * stride`` scaled by exp(dw), exp(dh) around cell
+    centers (reference guided_anchor_head.py anchor generation)."""
+    pts = P.multi_level_points(cfg.image_shape, cfg.strides)
+    stride = pts[:, 2]
+    shape = _flatten(outs["shape"], 2).astype(jnp.float32)
+    base = octave_base * stride
+    w = base[None, :] * jnp.exp(jnp.clip(shape[..., 0], -4.0, 4.0))
+    h = base[None, :] * jnp.exp(jnp.clip(shape[..., 1], -4.0, 4.0))
+    cx = pts[None, :, 0]
+    cy = pts[None, :, 1]
+    return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+
+
+def ga_retina_loss(outs: Dict[str, Sequence[Array]],
+                   batch: Dict[str, Array], cfg: DenseLossConfig,
+                   center_ratio: float = 0.2, ignore_ratio: float = 0.5,
+                   loc_weight: float = 1.0, shape_weight: float = 1.0):
+    """Guided-Anchoring RetinaNet loss (reference
+    `guided_anchor_head.py:loss` flow, TPU re-derivation):
+
+    * loc: focal BCE, positives in the center_ratio-shrunk GT at the
+      matched level, ignore ring at ignore_ratio (ga_shape_target_single)
+    * shape: IoU loss between the guided anchor and its best GT for cells
+      in the GT center region
+    * cls/reg: MaxIoU assignment ON the (stop-grad) guided anchors,
+      focal + L1 deltas
+    """
+    C = cfg.num_classes
+    pts = P.multi_level_points(cfg.image_shape, cfg.strides)
+    stride = pts[:, 2]
+    cls = _flatten(outs["cls"], C).astype(jnp.float32)
+    reg = _flatten(outs["reg"], 4).astype(jnp.float32)
+    loc = _flatten(outs["loc"], 1)[..., 0].astype(jnp.float32)
+    anchors_all = _ga_guided_anchors(outs, cfg)
+    from ..models.losses.common import iou_loss
+
+    def center_mask(gt_bboxes, gt_valid, ratio):
+        """(N, M) cell centers inside the ratio-shrunk gt at the matched
+        level (scale -> level via log2(sqrt(area))/octave)."""
+        cx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) / 2
+        cy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) / 2
+        hw = (gt_bboxes[:, 2] - gt_bboxes[:, 0]) * ratio / 2
+        hh = (gt_bboxes[:, 3] - gt_bboxes[:, 1]) * ratio / 2
+        scale = jnp.sqrt(jnp.clip(
+            (gt_bboxes[:, 2] - gt_bboxes[:, 0])
+            * (gt_bboxes[:, 3] - gt_bboxes[:, 1]), 1.0))
+        gt_lvl = jnp.clip(jnp.floor(jnp.log2(scale / 8.0) + 0.5), 0,
+                          len(cfg.strides) - 1)
+        pt_lvl = jnp.log2(stride / cfg.strides[0])
+        same_lvl = pt_lvl[:, None] == gt_lvl[None, :]
+        inside = ((pts[:, None, 0] >= cx - hw) & (pts[:, None, 0] <= cx + hw)
+                  & (pts[:, None, 1] >= cy - hh)
+                  & (pts[:, None, 1] <= cy + hh))
+        return inside & same_lvl & gt_valid[None, :]
+
+    def single(cls_i, reg_i, loc_i, anchors_i, gt_bboxes, gt_valid,
+               gt_labels):
+        areas = jnp.clip((gt_bboxes[:, 2] - gt_bboxes[:, 0])
+                         * (gt_bboxes[:, 3] - gt_bboxes[:, 1]), 0.0)
+        pos_m = center_mask(gt_bboxes, gt_valid, center_ratio)
+        ign_m = center_mask(gt_bboxes, gt_valid, ignore_ratio)
+        loc_pos = jnp.any(pos_m, -1)
+        loc_ign = jnp.any(ign_m, -1) & ~loc_pos
+        n_loc_pos = jnp.maximum(jnp.sum(loc_pos.astype(jnp.float32)), 1.0)
+        lw = jnp.where(loc_ign, 0.0, 1.0)
+        loss_loc = sigmoid_focal_loss(
+            loc_i[:, None], jnp.where(loc_pos, 0, 1), lw,
+            num_classes=1, avg_factor=n_loc_pos) * loc_weight
+
+        # shape: best (smallest-area) covering gt per positive cell
+        rank = jnp.where(pos_m, areas[None, :], INF)
+        gi = jnp.argmin(rank, -1)
+        tgt = gt_bboxes[gi]
+        posf = loc_pos.astype(jnp.float32)
+        loss_shape = iou_loss(anchors_i, tgt, posf, reduction="sum"
+                              ) / n_loc_pos * shape_weight
+
+        # cls/reg on the guided anchors
+        ga = jax.lax.stop_gradient(anchors_i)
+        res = max_iou_assign(ga, jnp.ones(ga.shape[:1], bool), gt_bboxes,
+                             gt_valid, pos_iou_thr=cfg.pos_iou_thr,
+                             neg_iou_thr=cfg.neg_iou_thr,
+                             min_pos_iou=cfg.min_pos_iou)
+        pos = res.gt_idx >= 0
+        labels = jnp.where(pos, gt_labels[jnp.maximum(res.gt_idx, 0)], C)
+        num_pos = jnp.maximum(jnp.sum(pos.astype(jnp.float32)), 1.0)
+        loss_cls = sigmoid_focal_loss(cls_i, labels, reduction="mean",
+                                      avg_factor=num_pos)
+        safe = jnp.where(pos[:, None],
+                         gt_bboxes[jnp.maximum(res.gt_idx, 0)], ga)
+        deltas = bbox2delta(ga, safe, stds=cfg.target_stds)
+        loss_bbox = l1_loss(reg_i, deltas, pos.astype(jnp.float32)[:, None],
+                            reduction="mean", avg_factor=num_pos)
+        return loss_loc, loss_shape, loss_cls, loss_bbox
+
+    ll, ls, lc, lb = jax.vmap(single)(cls, reg, loc, anchors_all,
+                                      batch["gt_bboxes"],
+                                      batch["gt_valid"],
+                                      batch["gt_labels"])
+    losses = {"loss_loc": ll.mean(), "loss_shape": ls.mean(),
+              "loss_cls": lc.mean() * cfg.cls_weight,
+              "loss_bbox": lb.mean() * cfg.bbox_weight}
     return sum(losses.values()), losses

@@ -962,3 +962,107 @@ def htc_decode(model, variables, images: Array, img_shapes: Array,
     sel = jnp.take_along_axis(msum / 3.0, cls_idx[:, None, None, None],
                               axis=-1)[..., 0]
     return det, sel.reshape(B2, K2, oh, oh)
+
+
+# ------------------------------------------------------------ PointRend ---
+
+def _uncertain_points(mask_logits_cls: Array, n_points: int) -> Array:
+    """Top-``n_points`` most uncertain (|logit| smallest) locations of a
+    (S, H, W) map as normalized xy (deterministic stand-in for the
+    reference's oversample-random mix — static shapes on TPU)."""
+    S, H, W = mask_logits_cls.shape
+    unc = -jnp.abs(mask_logits_cls).reshape(S, H * W)
+    _, idx = jax.lax.top_k(unc, n_points)
+    xs = ((idx % W).astype(jnp.float32) + 0.5) / W
+    ys = ((idx // W).astype(jnp.float32) + 0.5) / H
+    return jnp.stack([xs, ys], -1)
+
+
+def point_rend_loss(model, variables, batch: Dict[str, Array],
+                    cfg: TwoStageConfig, *, num_points: int = 196):
+    """Mask R-CNN losses + PointRend point BCE at the most uncertain
+    coarse-mask points (reference `point_rend_roi_head.py` train flow;
+    deterministic uncertainty-only point selection)."""
+    total, losses = mask_rcnn_loss(model, variables, batch, cfg)
+    feats = model.apply(variables, batch["image"], method="extract")
+    rpn_outs = model.apply(variables, feats, method="rpn")
+    props, pvalid = rpn_proposals(
+        jax.tree.map(jax.lax.stop_gradient, rpn_outs),
+        batch["img_shape"], cfg)
+    rois, labels, deltas, pos, valid = sample_rois(
+        props, pvalid, batch["gt_bboxes"], batch["gt_valid"],
+        batch["gt_labels"], cfg)
+    B, S = rois.shape[:2]
+    rois5 = _rois_with_batch_idx(rois)
+    mask_logits = model.apply(variables, feats, rois5,
+                              method="mask_forward")
+    cls_idx = jnp.clip(labels.reshape(-1), 0, mask_logits.shape[-1] - 1)
+    sel = jnp.take_along_axis(mask_logits, cls_idx[:, None, None, None],
+                              axis=-1)[..., 0]
+    pts = _uncertain_points(jax.lax.stop_gradient(sel), num_points)
+    pt_logits = model.apply(variables, feats, rois5, pts, mask_logits,
+                            method="point_forward")
+    pt_sel = jnp.take_along_axis(pt_logits, cls_idx[:, None, None],
+                                 axis=-1)[..., 0]
+
+    def gt_of(rois_i, gts, gvalid):
+        ious = box_iou(rois_i, gts)
+        return jnp.where(gvalid[None, :], ious, -1.0).argmax(axis=1)
+
+    gt_idx = jax.vmap(gt_of)(rois, batch["gt_bboxes"], batch["gt_valid"])
+    flat_polys = batch["gt_polygons"].reshape(
+        -1, batch["gt_polygons"].shape[-1])
+    flat_gt = (gt_idx + jnp.arange(B)[:, None]
+               * batch["gt_polygons"].shape[1]).reshape(-1)
+    # GT values at the sampled points: rasterize at a fine grid and sample
+    tgt_grid = rasterize_polygon_in_roi(
+        flat_polys[jnp.maximum(flat_gt, 0)], rois.reshape(B * S, 4), 56)
+    from ..models.heads.two_stage import point_sample
+    tgt = point_sample(tgt_grid[..., None], pts)[..., 0]
+    bce = (jnp.maximum(pt_sel, 0) - pt_sel * tgt
+           + jnp.log1p(jnp.exp(-jnp.abs(pt_sel))))
+    posf = pos.reshape(-1).astype(jnp.float32)
+    n_pos = jnp.maximum(posf.sum(), 1.0)
+    l_point = jnp.sum(bce.mean(-1) * posf) / n_pos
+    losses["loss_point"] = l_point
+    return total + l_point, losses
+
+
+def point_rend_decode(model, variables, images: Array, img_shapes: Array,
+                      scale_factors: Array, cfg: TwoStageConfig,
+                      tcfg: TestConfig, rescale: bool = True,
+                      subdivision_steps: int = 2, num_points: int = 784):
+    """Mask R-CNN decode + PointRend subdivision refinement: at each step,
+    upsample 2x and replace the most uncertain points with point-head
+    predictions (reference `point_rend_roi_head.simple_test_mask`)."""
+    det, _ = mask_rcnn_decode(model, variables, images, img_shapes,
+                              scale_factors, cfg, tcfg, rescale=rescale)
+    feats = model.apply(variables, images, method="extract")
+    boxes = det.bboxes
+    if rescale:
+        boxes = boxes * scale_factors[:, None, :]
+    rois = _rois_with_batch_idx(boxes)
+    mask_logits = model.apply(variables, feats, rois, method="mask_forward")
+    B, Kd = det.bboxes.shape[:2]
+    cls_idx = jnp.clip(det.labels.reshape(-1), 0, mask_logits.shape[-1] - 1)
+    cur = jnp.take_along_axis(mask_logits, cls_idx[:, None, None, None],
+                              axis=-1)[..., 0]                  # (N, 28, 28)
+    from ..models.heads.two_stage import point_sample
+    for _ in range(subdivision_steps):
+        N, H, W = cur.shape
+        cur = jax.image.resize(cur, (N, H * 2, W * 2), method="bilinear")
+        pts = _uncertain_points(cur, num_points)
+        pt_logits = model.apply(variables, feats, rois, pts, mask_logits,
+                                method="point_forward")
+        pt_sel = jnp.take_along_axis(pt_logits, cls_idx[:, None, None],
+                                     axis=-1)[..., 0]
+        H2, W2 = cur.shape[1:]
+        xi = jnp.clip((pts[..., 0] * W2).astype(jnp.int32), 0, W2 - 1)
+        yi = jnp.clip((pts[..., 1] * H2).astype(jnp.int32), 0, H2 - 1)
+        flat = cur.reshape(N, H2 * W2)
+        flat = jax.vmap(lambda f, i, v: f.at[i].set(v))(
+            flat, yi * W2 + xi, pt_sel)
+        cur = flat.reshape(N, H2, W2)
+    masks = jax.nn.sigmoid(cur.astype(jnp.float32))
+    oh = masks.shape[1]
+    return det, masks.reshape(B, Kd, oh, oh)

@@ -208,6 +208,13 @@ def build_head(cfg: Dict[str, Any]):
                   "pre_anchor_topk", "bbox_thr", "gamma", "alpha"):
             cfg.pop(k, None)
         return RetinaHead(**cfg), loss_cfgs
+    if kind == "GARetinaHead":
+        for k in ("approx_anchor_generator", "square_anchor_generator",
+                  "anchor_coder", "bbox_coder", "loc_filter_thr",
+                  "train_cfg", "test_cfg", "deform_groups"):
+            cfg.pop(k, None)
+        from .heads.dense import GARetinaHead
+        return GARetinaHead(**cfg), loss_cfgs
     if kind == "PISARetinaHead":
         # same module as RetinaHead; the PISA reweighting is loss-side
         for k in ("anchor_generator", "bbox_coder", "train_cfg",
@@ -265,16 +272,19 @@ def build_detector(cfg: Dict[str, Any]):
     kind = cfg.pop("type")
     cfg.pop("pretrained", None)
     backbone = build_backbone(cfg.pop("backbone"))
-    neck = build_neck(cfg.pop("neck"))
+    neck_cfg = cfg.pop("neck")
+    neck_channels = (neck_cfg or {}).get("out_channels", 256)
+    neck = build_neck(neck_cfg)
     if kind in ("FasterRCNN", "TwoStageDetector", "MaskRCNN",
                 "CascadeRCNN", "FastRCNN", "MaskScoringRCNN", "GridRCNN",
-                "HybridTaskCascade", "HTC"):
+                "HybridTaskCascade", "HTC", "PointRend"):
         from .heads.two_stage import (CascadeRCNNDetector, FastRCNNDetector,
                                       FCNMaskHead, FusedSemanticHead,
                                       GridHead, GridRCNNDetector,
                                       HTCDetector, HTCMaskHead, MaskIoUHead,
-                                      MaskRCNNDetector,
-                                      MaskScoringRCNNDetector, RPNHead,
+                                      MaskPointHead, MaskRCNNDetector,
+                                      MaskScoringRCNNDetector,
+                                      PointRendDetector, RPNHead,
                                       Shared2FCBBoxHead, TwoStageDetector)
         rpn_cfg = dict(cfg.pop("rpn_head", {}))
         rpn_cfg.pop("type", None)
@@ -309,7 +319,9 @@ def build_detector(cfg: Dict[str, Any]):
                 backbone=backbone, neck=neck, rpn_head=rpn,
                 bbox_head=mk_b(), bbox_head2=mk_b(), bbox_head3=mk_b(),
                 mask_head1=mk_m(), mask_head2=mk_m(), mask_head3=mk_m(),
-                semantic_head=FusedSemanticHead(num_classes=num_classes))
+                semantic_head=FusedSemanticHead(
+                    num_classes=num_classes,
+                    conv_channels=neck_channels))
         elif kind == "CascadeRCNN":
             mk = lambda: Shared2FCBBoxHead(             # noqa: E731
                 num_classes=num_classes,
@@ -318,6 +330,16 @@ def build_detector(cfg: Dict[str, Any]):
             det = CascadeRCNNDetector(
                 backbone=backbone, neck=neck, rpn_head=rpn,
                 bbox_head=mk(), bbox_head2=mk(), bbox_head3=mk())
+        elif kind == "PointRend":
+            mh = dict(roi_cfg.get("mask_head", {}))
+            det = PointRendDetector(
+                backbone=backbone, neck=neck, rpn_head=rpn,
+                bbox_head=bbox_head,
+                mask_head=FCNMaskHead(
+                    num_classes=num_classes,
+                    conv_channels=mh.get("conv_out_channels", 256),
+                    num_convs=mh.get("num_convs", 4)),
+                point_head=MaskPointHead(num_classes=num_classes))
         elif kind in ("MaskRCNN", "MaskScoringRCNN"):
             mh = dict(roi_cfg.get("mask_head", {}))
             mask_head = FCNMaskHead(

@@ -273,3 +273,68 @@ class RetinaSepBNHead(nn.Module):
             cls_maps.append(cls_out(cf))
             reg_maps.append(reg_out(rf))
         return {"cls": cls_maps, "reg": reg_maps}
+
+
+class GARetinaHead(nn.Module):
+    """Guided-Anchoring RetinaNet head (reference
+    `.../guided_anchor_head.py:865` + `ga_retina_head.py`): per-cell
+    anchor-shape (dw, dh) and location-objectness branches; a deformable
+    feature adaption driven by the shape prediction; cls/reg towers on the
+    adapted features with ONE guided anchor per cell.
+
+    The reference applies the post-adaption convs through ``masked_conv``
+    (compute only at loc-masked cells); dense conv is the TPU-native
+    equivalent — the mask applies at decode (SURVEY §2.2)."""
+    num_classes: int
+    in_channels: int = 256
+    feat_channels: int = 256
+    stacked_convs: int = 4
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array]) -> Dict[str, List[Array]]:
+        from ...ops.flat_deform import multilevel_modulated_dcn
+        cls_tower = _Tower(self.stacked_convs, self.feat_channels, False,
+                           "cls_conv")
+        reg_tower = _Tower(self.stacked_convs, self.feat_channels, False,
+                           "reg_conv")
+        loc_out = _conv3(1, "conv_loc", bias_init=_prior_bias)
+        shape_out = _conv3(2, "conv_shape")
+        # two feature adapters (cls / reg), offsets from the shape pred
+        # (reference FeatureAdaption x2 in ga_retina_head.py)
+        off_cls = nn.Conv(2 * 9, (1, 1), kernel_init=nn.initializers.zeros,
+                          name="adaption_offset_cls")
+        off_reg = nn.Conv(2 * 9, (1, 1), kernel_init=nn.initializers.zeros,
+                          name="adaption_offset_reg")
+        w_cls = self.param("adaption_weight_cls",
+                           nn.initializers.normal(0.01),
+                           (3, 3, self.feat_channels, self.feat_channels),
+                           jnp.float32)
+        w_reg = self.param("adaption_weight_reg",
+                           nn.initializers.normal(0.01),
+                           (3, 3, self.feat_channels, self.feat_channels),
+                           jnp.float32)
+        cls_out = _conv3(self.num_classes, "ga_cls",
+                         bias_init=_prior_bias)
+        reg_out = _conv3(4, "ga_reg")
+        locs, shapes, cls_maps, reg_maps = [], [], [], []
+        cfs, rfs, offs_c, offs_r = [], [], [], []
+        for f in feats:
+            cf = cls_tower(f)
+            rf = reg_tower(f)
+            locs.append(loc_out(cf))
+            shape = shape_out(rf)
+            shapes.append(shape)
+            sg = jax.lax.stop_gradient(shape)
+            cfs.append(cf)
+            rfs.append(rf)
+            offs_c.append(off_cls(sg).astype(f.dtype))
+            offs_r.append(off_reg(sg).astype(f.dtype))
+        a_cls = multilevel_modulated_dcn(
+            cfs, offs_c, [None] * len(feats), w_cls.astype(feats[0].dtype))
+        a_reg = multilevel_modulated_dcn(
+            rfs, offs_r, [None] * len(feats), w_reg.astype(feats[0].dtype))
+        for ac, ar in zip(a_cls, a_reg):
+            cls_maps.append(cls_out(nn.relu(ac)))
+            reg_maps.append(reg_out(nn.relu(ar)))
+        return {"cls": cls_maps, "reg": reg_maps, "loc": locs,
+                "shape": shapes}

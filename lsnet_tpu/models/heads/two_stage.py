@@ -497,3 +497,82 @@ class HTCDetector(TwoStageDetector):
                                               last)
             outs[f"mask{st}"] = m
         return outs
+
+
+def point_sample(feat: Array, points: Array) -> Array:
+    """Bilinear sample (N, H, W, C) at normalized [0,1] xy ``points``
+    (N, P, 2) -> (N, P, C) (reference mmcv point_sample, align=False)."""
+    N, H, W, C = feat.shape
+    x = points[..., 0] * W - 0.5
+    y = points[..., 1] * H - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    out = 0.0
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi = jnp.clip(x0 + dx, 0, W - 1).astype(jnp.int32)
+            yi = jnp.clip(y0 + dy, 0, H - 1).astype(jnp.int32)
+            w = ((1 - jnp.abs(x - (x0 + dx)))
+                 * (1 - jnp.abs(y - (y0 + dy))))
+            g = jnp.take_along_axis(
+                feat.reshape(N, H * W, C),
+                (yi * W + xi)[..., None].astype(jnp.int32), axis=1)
+            out = out + g * w[..., None].astype(feat.dtype)
+    return out
+
+
+class MaskPointHead(nn.Module):
+    """PointRend point head (reference
+    `roi_heads/mask_heads/mask_point_head.py`): a 3-layer 1x1-conv MLP on
+    [fine point features, coarse point logits] -> per-class point logits,
+    with the coarse logits re-concatenated at every layer."""
+    num_classes: int
+    num_fcs: int = 3
+    fc_channels: int = 256
+
+    @nn.compact
+    def __call__(self, fine: Array, coarse: Array) -> Array:
+        x = jnp.concatenate([fine, coarse], axis=-1)
+        for i in range(self.num_fcs):
+            x = nn.relu(nn.Dense(self.fc_channels, name=f"fc{i}")(x))
+            x = jnp.concatenate([x, coarse], axis=-1)
+        return nn.Dense(self.num_classes, name="fc_logits")(x)
+
+
+class PointRendDetector(MaskRCNNDetector):
+    """PointRend (reference `detectors/point_rend.py` +
+    `roi_heads/point_rend_roi_head.py`): Mask R-CNN whose mask predictions
+    are refined at uncertain points by an MLP over fine P2 features."""
+    point_head: nn.Module = None
+
+    def point_forward(self, feats: Sequence[Array], rois: Array,
+                      points: Array, coarse_logits: Array) -> Array:
+        """points (N, P, 2) normalized within each roi; fine features come
+        from the finest FPN level (reference in_channels=[256], start P2).
+        """
+        x1, y1 = rois[:, 1], rois[:, 2]
+        w = jnp.maximum(rois[:, 3] - rois[:, 1], 1e-3)
+        h = jnp.maximum(rois[:, 4] - rois[:, 2], 1e-3)
+        f0 = feats[0]
+        B, H, W, C = f0.shape
+        stride = 4.0
+        # flat-row bilinear gather (materializing f0[batch_of_roi] would
+        # be N_rois x the full P2 map)
+        px = (x1[:, None] + points[..., 0] * w[:, None]) / stride - 0.5
+        py = (y1[:, None] + points[..., 1] * h[:, None]) / stride - 0.5
+        bidx = jnp.clip(rois[:, 0].astype(jnp.int32), 0, B - 1)
+        flat = f0.reshape(B * H * W, C)
+        x0 = jnp.floor(px)
+        y0 = jnp.floor(py)
+        fine = 0.0
+        for dy in (0, 1):
+            for dx in (0, 1):
+                xi = jnp.clip(x0 + dx, 0, W - 1).astype(jnp.int32)
+                yi = jnp.clip(y0 + dy, 0, H - 1).astype(jnp.int32)
+                wt = ((1 - jnp.abs(px - (x0 + dx)))
+                      * (1 - jnp.abs(py - (y0 + dy))))
+                idx = bidx[:, None] * (H * W) + yi * W + xi
+                fine = fine + flat[idx.reshape(-1)].reshape(
+                    *idx.shape, C) * wt[..., None].astype(f0.dtype)
+        coarse = point_sample(coarse_logits, points)
+        return self.point_head(fine, coarse)

@@ -87,7 +87,8 @@ def two_stage_cfg_from(cfg, image_shape):
 def _is_two_stage(cfg) -> bool:
     return cfg.model.type in ("FasterRCNN", "TwoStageDetector", "MaskRCNN",
                               "CascadeRCNN", "MaskScoringRCNN",
-                              "GridRCNN", "HybridTaskCascade", "HTC")
+                              "GridRCNN", "HybridTaskCascade", "HTC",
+                              "PointRend")
 
 
 def _head_num_vectors(cfg, head) -> int:
@@ -98,7 +99,8 @@ def _head_num_vectors(cfg, head) -> int:
     segm pipeline, not the 4-vertex bbox default."""
     return head.get("num_vectors",
                     36 if cfg.model.type in ("MaskRCNN", "MaskScoringRCNN",
-                                             "HybridTaskCascade", "HTC")
+                                             "HybridTaskCascade", "HTC",
+                                             "PointRend")
                     else 4)
 
 
@@ -108,7 +110,8 @@ DENSE_HEAD_KINDS = {"RetinaHead": "retina", "RetinaSepBNHead": "retina",
                     "SSDHead": "ssd", "FoveaHead": "fovea",
                     "FSAFHead": "fsaf",
                     "FreeAnchorRetinaHead": "free_anchor",
-                    "PISARetinaHead": "pisa_retina"}
+                    "PISARetinaHead": "pisa_retina",
+                    "GARetinaHead": "ga_retina"}
 
 
 def dense_cfg_from(cfg, image_shape):
@@ -258,7 +261,7 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
     task = {"bbox": "bbox", "segm": "segm",
             "pose_bbox": "pose", "pose_kbox": "pose"}[head.get("task", "bbox")]
     if cfg.model.type in ("MaskRCNN", "MaskScoringRCNN",
-                          "HybridTaskCascade", "HTC"):
+                          "HybridTaskCascade", "HTC", "PointRend"):
         task = "segm"   # the pipeline must carry gt_polygons for mask loss
     data_cfg = cfg.data
     raw_scale = data_cfg.train.get("img_scale", (1333, 800))
@@ -335,13 +338,15 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
                                               mask_scoring_rcnn_loss,
                                               two_stage_loss)
                 tscfg = two_stage_cfg_from(cfg, canvas_hw)
-                from ..core.two_stage import grid_rcnn_loss, htc_loss
+                from ..core.two_stage import (grid_rcnn_loss, htc_loss,
+                                              point_rend_loss)
                 ts_loss = {"MaskRCNN": mask_rcnn_loss,
                            "CascadeRCNN": cascade_rcnn_loss,
                            "MaskScoringRCNN": mask_scoring_rcnn_loss,
                            "GridRCNN": grid_rcnn_loss,
                            "HybridTaskCascade": htc_loss,
-                           "HTC": htc_loss}.get(
+                           "HTC": htc_loss,
+                           "PointRend": point_rend_loss}.get(
                                cfg.model.type, two_stage_loss)
                 step_fns[canvas_hw] = make_train_step(
                     model, tx, None, mesh=mesh,
@@ -485,6 +490,13 @@ def evaluate_detector(cfg, model, state, canvas, *, batch_size: int = 8,
                 elif cfg.model.type == "GridRCNN":
                     from ..core.two_stage import grid_rcnn_decode
                     det = grid_rcnn_decode(*args)
+                elif cfg.model.type == "PointRend":
+                    from ..core.two_stage import point_rend_decode
+                    from ..evalkit.evaluator import mask_detections_to_coco
+                    det, masks = point_rend_decode(*args)
+                    segm_dts += mask_detections_to_coco(
+                        jax.tree.map(np.asarray, det), np.asarray(masks),
+                        batch["img_id"], label_to_cat, img_sizes)
                 elif cfg.model.type in ("HybridTaskCascade", "HTC"):
                     from ..core.two_stage import htc_decode
                     from ..evalkit.evaluator import mask_detections_to_coco

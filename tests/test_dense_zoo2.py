@@ -297,3 +297,40 @@ def test_pisa_retina_loss(empty):
     assert np.isfinite(float(gnorm))
     if not empty:
         assert float(gnorm) > 0
+
+
+@pytest.mark.parametrize("empty", [False, True])
+def test_ga_retina_loss_and_decode(empty):
+    from lsnet_tpu.core.decode import TestConfig
+    from lsnet_tpu.core.dense_decode import dense_decode
+    from lsnet_tpu.core.dense_loss import DenseLossConfig, dense_loss
+    from lsnet_tpu.models.heads.dense import GARetinaHead
+
+    head = GARetinaHead(num_classes=4, in_channels=32, feat_channels=32,
+                        stacked_convs=1)
+    feats = _pt_feats()
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    batch = _batch(empty=empty)
+    cfg = DenseLossConfig(image_shape=IMG, num_classes=4, head="ga_retina")
+
+    def lf(p):
+        outs = head.apply({"params": p}, feats)
+        return dense_loss(outs, batch, cfg)
+
+    (total, losses), grads = jax.value_and_grad(
+        lambda p: lf(p), has_aux=True)(variables["params"])
+    assert np.isfinite(float(total)), losses
+    for k in ("loss_loc", "loss_shape", "loss_cls", "loss_bbox"):
+        assert k in losses
+    gnorm = jnp.sqrt(sum(jnp.sum(g ** 2) for g in jax.tree.leaves(grads)))
+    assert np.isfinite(float(gnorm))
+    if not empty:
+        assert float(gnorm) > 0
+
+    outs = head.apply(variables, feats)
+    tcfg = TestConfig(image_shape=IMG, num_classes=4, task="bbox",
+                      num_vectors=4, nms_pre=100, score_thr=0.0,
+                      nms_iou=0.5, max_per_img=10)
+    det = dense_decode(outs, jnp.asarray([[64, 64]] * 2, jnp.int32),
+                       jnp.ones((2, 4), jnp.float32), tcfg, cfg)
+    assert det.bboxes.shape == (2, 10, 4)

@@ -535,3 +535,49 @@ def test_htc():
                             jnp.ones((1, 4), jnp.float32), cfg, tcfg)
     assert masks.shape[:2] == (1, 8)
     assert np.isfinite(np.asarray(det.bboxes)).all()
+
+
+@pytest.mark.slow
+def test_point_rend():
+    """PointRend: point loss trains, subdivision decode refines masks."""
+    import jax
+    import jax.numpy as jnp
+
+    from lsnet_tpu.core.decode import TestConfig
+    from lsnet_tpu.core.two_stage import (TwoStageConfig, point_rend_decode,
+                                          point_rend_loss)
+    from lsnet_tpu.models import build_detector
+
+    model, _ = build_detector(dict(
+        type="PointRend",
+        backbone=dict(type="ResNet", depth=18, num_stages=4,
+                      out_indices=(0, 1, 2, 3), frozen_stages=-1),
+        neck=dict(type="FPN", out_channels=32, num_outs=5),
+        roi_head=dict(bbox_head=dict(num_classes=4, fc_out_channels=64),
+                      mask_head=dict(conv_out_channels=32, num_convs=1))))
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    cfg = TwoStageConfig(image_shape=(64, 64), num_classes=4,
+                         nms_pre=64, proposal_count=16, rcnn_num_samples=8)
+    poly = np.array([8, 8, 40, 8, 40, 40, 8, 40] * 9, np.float32)[:72]
+    batch = {
+        "image": img,
+        "img_shape": jnp.asarray([[64, 64]], jnp.int32),
+        "gt_bboxes": jnp.asarray([[[8, 8, 40, 40], [0, 0, 0, 0]]],
+                                 jnp.float32),
+        "gt_labels": jnp.asarray([[1, 0]], jnp.int32),
+        "gt_valid": jnp.asarray([[True, False]]),
+        "gt_polygons": jnp.asarray(np.stack([poly, poly])[None]),
+    }
+    total, losses = point_rend_loss(model, variables, batch, cfg,
+                                    num_points=32)
+    assert np.isfinite(float(total))
+    assert "loss_point" in losses
+    tcfg = TestConfig(image_shape=(64, 64), num_classes=4, task="bbox",
+                      num_vectors=4, nms_pre=64, score_thr=0.0,
+                      nms_iou=0.5, max_per_img=8)
+    det, masks = point_rend_decode(
+        model, variables, img, jnp.asarray([[64, 64]], jnp.int32),
+        jnp.ones((1, 4), jnp.float32), cfg, tcfg,
+        subdivision_steps=1, num_points=64)
+    assert masks.shape == (1, 8, 56, 56)
