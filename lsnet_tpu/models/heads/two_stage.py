@@ -545,6 +545,15 @@ class PointRendDetector(MaskRCNNDetector):
     are refined at uncertain points by an MLP over fine P2 features."""
     point_head: nn.Module = None
 
+    def __call__(self, images: Array, rois: Array = None):
+        outs = super().__call__(images, rois)
+        feats = self.extract(images)
+        dummy = (rois if rois is not None
+                 else jnp.zeros((1, 5), images.dtype))
+        pts = jnp.full((dummy.shape[0], 4, 2), 0.5, images.dtype)
+        outs["point"] = self.point_forward(feats, dummy, pts, outs["mask"])
+        return outs
+
     def point_forward(self, feats: Sequence[Array], rois: Array,
                       points: Array, coarse_logits: Array) -> Array:
         """points (N, P, 2) normalized within each roi; fine features come
