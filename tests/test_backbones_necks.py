@@ -262,6 +262,6 @@ def test_detectors_resnext_sac():
     v = bb.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
     outs = bb.apply(v, jnp.zeros((1, 64, 64, 3)))
     assert [o.shape[-1] for o in outs] == [256, 512, 1024, 2048]
-    # grouped SAC weight shape: cin/groups
+    # grouped SAC weight: cin dim is width/groups
     w = v["params"]["layer2_0"]["conv2"]["weight"]
-    assert w.shape[2] * 32 == w.shape[3] * 2    # cin/groups vs width
+    assert w.shape[2] * 32 == w.shape[3]        # (cin/groups)*groups = width
