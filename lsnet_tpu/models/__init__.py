@@ -296,7 +296,10 @@ def build_detector(cfg: Dict[str, Any]):
         n_base = (len(anchor_gen.get("ratios", [0.5, 1.0, 2.0]))
                   * len(anchor_gen.get("scales", [8])))
         roi_cfg = dict(cfg.pop("roi_head", {}))
-        bh = dict(roi_cfg.get("bbox_head", {}))
+        bh = roi_cfg.get("bbox_head", {})
+        if isinstance(bh, (list, tuple)):  # cascade: per-stage head list
+            bh = bh[0] if bh else {}
+        bh = dict(bh)
         num_classes = bh.get("num_classes", 80)
         rpn = RPNHead(num_base_anchors=n_base, **{
             k: v for k, v in rpn_cfg.items()

@@ -68,7 +68,12 @@ def two_stage_cfg_from(cfg, image_shape):
     rpn = tc.get("rpn", {}).get("assigner", {})
     prop = tc.get("rpn_proposal", {})
     rcnn = tc.get("rcnn", {})
-    num_classes = cfg.model.roi_head.bbox_head.num_classes
+    if isinstance(rcnn, (list, tuple)):   # cascade: per-stage train cfgs;
+        rcnn = rcnn[0] if rcnn else {}    # sampler knobs come from stage 1
+    bh = cfg.model.roi_head.bbox_head
+    if isinstance(bh, (list, tuple)):     # cascade: per-stage head list
+        bh = bh[0]
+    num_classes = bh.num_classes
     return TwoStageConfig(
         image_shape=image_shape,
         num_classes=num_classes,
@@ -89,6 +94,17 @@ def _is_two_stage(cfg) -> bool:
                               "CascadeRCNN", "MaskScoringRCNN",
                               "GridRCNN", "HybridTaskCascade", "HTC",
                               "PointRend")
+
+
+def _head_cfg(cfg):
+    """The (first) head config dict — single-stage ``bbox_head``, two-stage
+    ``roi_head.bbox_head``; cascade configs carry a per-stage list, whose
+    first stage defines the shared schema (num_classes, task, ...)."""
+    head = cfg.model.get(
+        "bbox_head", cfg.model.get("roi_head", {}).get("bbox_head", {}))
+    if isinstance(head, (list, tuple)):
+        head = head[0] if head else {}
+    return head
 
 
 def _head_num_vectors(cfg, head) -> int:
@@ -224,8 +240,7 @@ def make_loss_for(cfg, image_shape):
 
 
 def test_cfg_from(cfg, image_shape) -> TestConfig:
-    head = cfg.model.get(
-        "bbox_head", cfg.model.get("roi_head", {}).get("bbox_head", {}))
+    head = _head_cfg(cfg)
     tc = cfg.test_cfg
     if "rcnn" in tc:
         tc = tc.rcnn
@@ -256,8 +271,7 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
     logger = JsonLogger(work_dir, interval=cfg.get("log_interval", 50))
     print("environment:", dict(collect_env()), flush=True)
 
-    head = cfg.model.get(
-        "bbox_head", cfg.model.get("roi_head", {}).get("bbox_head", {}))
+    head = _head_cfg(cfg)
     task = {"bbox": "bbox", "segm": "segm",
             "pose_bbox": "pose", "pose_kbox": "pose"}[head.get("task", "bbox")]
     if cfg.model.type in ("MaskRCNN", "MaskScoringRCNN",
@@ -404,8 +418,7 @@ def evaluate_detector(cfg, model, state, canvas, *, batch_size: int = 8,
     Batches are grouped by image orientation so each group pads onto one
     static canvas (``canvas`` is the landscape one; portrait is its
     transpose)."""
-    head = cfg.model.get(
-        "bbox_head", cfg.model.get("roi_head", {}).get("bbox_head", {}))
+    head = _head_cfg(cfg)
     task = {"bbox": "bbox", "segm": "segm",
             "pose_bbox": "pose", "pose_kbox": "pose"}[head.get("task", "bbox")]
     ds = CocoDataset(DatasetConfig(
@@ -416,9 +429,8 @@ def evaluate_detector(cfg, model, state, canvas, *, batch_size: int = 8,
         test_mode=True)
     fwd = make_eval_forward(model)
     tcfgs = {}
-    head_type = cfg.model.get(
-        "bbox_head", cfg.model.get("roi_head", {}).get("bbox_head", {})
-    ).get("type", "TwoStage" if _is_two_stage(cfg) else "LSHead")
+    head_type = _head_cfg(cfg).get(
+        "type", "TwoStage" if _is_two_stage(cfg) else "LSHead")
 
     def decode_for(canvas_hw):
         if canvas_hw not in tcfgs:

@@ -53,3 +53,30 @@ def test_config_builds(cfg_path):
     assert cfg.optimizer.lr == 0.01
     assert cfg.optimizer_config.grad_clip.max_norm == 35
     assert cfg.test_cfg.nms.iou_thr == 0.6
+
+
+ZOO_DIR = os.path.dirname(CFG_DIR)
+ZOO_CONFIGS = sorted(p for p in glob.glob(os.path.join(ZOO_DIR, "*", "*.py"))
+                     if "_base_" not in p and os.sep + "lsnet" + os.sep
+                     not in p)
+
+
+def test_found_zoo_families():
+    fams = {os.path.basename(os.path.dirname(p)) for p in ZOO_CONFIGS}
+    for fam in ("retinanet", "fcos", "atss", "gfl", "reppoints", "ssd",
+                "foveabox", "fsaf", "free_anchor", "guided_anchoring",
+                "pisa", "nas_fcos", "faster_rcnn", "mask_rcnn",
+                "cascade_rcnn", "ms_rcnn", "grid_rcnn", "htc",
+                "point_rend", "detectors"):
+        assert fam in fams, fam
+
+
+@pytest.mark.parametrize("cfg_path", ZOO_CONFIGS,
+                         ids=[os.path.join(os.path.basename(
+                             os.path.dirname(p)), os.path.basename(p))
+                             for p in ZOO_CONFIGS])
+def test_zoo_config_builds(cfg_path):
+    """Every inherited-zoo config parses and builds its detector module."""
+    cfg = Config.fromfile(cfg_path)
+    model, _ = build_detector(cfg.model.to_dict())
+    assert model is not None
