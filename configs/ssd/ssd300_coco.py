@@ -33,8 +33,22 @@ train_cfg = dict(
     debug=False)
 test_cfg = dict(nms=dict(type='nms', iou_thr=0.45), min_bbox_size=0,
                 score_thr=0.02, max_per_img=200)
+# the real SSD training recipe (reference configs/ssd/ssd300_coco.py
+# train_pipeline): photometric distortion -> mean-fill Expand ->
+# MinIoURandomCrop -> exact 300x300 resize
 data = dict(samples_per_gpu=8,
-            train=dict(img_scale=(300, 300)),
+            train=dict(img_scale=(300, 300), keep_ratio=False,
+                       augmentations=[
+                           dict(type='PhotoMetricDistortion',
+                                brightness_delta=32,
+                                contrast_range=(0.5, 1.5),
+                                saturation_range=(0.5, 1.5), hue_delta=18),
+                           dict(type='Expand',
+                                mean=[123.675, 116.28, 103.53],
+                                ratio_range=(1, 4)),
+                           dict(type='MinIoURandomCrop',
+                                min_ious=(0.1, 0.3, 0.5, 0.7, 0.9),
+                                min_crop_size=0.3)]),
             val=dict(img_scale=(300, 300)),
             test=dict(img_scale=(300, 300)))
 canvas_shape = (300, 300)

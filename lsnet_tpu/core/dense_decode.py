@@ -42,6 +42,12 @@ def dense_decode(outs: Dict[str, Sequence[Array]], img_shapes: Array,
     if kind == "ga_retina":
         return ga_decode(outs, img_shapes, scale_factors, tcfg, lcfg,
                          rescale)
+    if kind == "ga_rpn":
+        return ga_rpn_decode(outs, img_shapes, scale_factors, tcfg, lcfg,
+                             rescale)
+    if kind == "pisa_ssd":
+        return _ssd_decode(outs, img_shapes, scale_factors, tcfg, lcfg,
+                           rescale)
     reg_ch = (4 * (reg_max + 1) if kind == "gfl" else 4)
     cls = jnp.concatenate([m.reshape(m.shape[0], -1, C)
                            for m in outs["cls"]], axis=1)
@@ -197,6 +203,36 @@ def ga_decode(outs, img_shapes, scale_factors, tcfg, lcfg,
 
     def single(cls_i, reg_i, loc_i, anchors_i, img_shape, sf):
         scores = jax.nn.sigmoid(cls_i.astype(jnp.float32))
+        keep = (jax.nn.sigmoid(loc_i.astype(jnp.float32))
+                > loc_thr)[:, None]
+        scores = scores * keep.astype(scores.dtype)
+        boxes = delta2bbox(anchors_i, reg_i.astype(jnp.float32),
+                           stds=lcfg.target_stds, max_shape=img_shape)
+        if rescale:
+            boxes = boxes / sf[None, :]
+        lms = jnp.zeros((boxes.shape[0], 8), boxes.dtype)
+        return nms_candidates(boxes, lms, scores, tcfg)
+
+    return jax.vmap(single)(cls, reg, loc, anchors, img_shapes,
+                            scale_factors)
+
+
+def ga_rpn_decode(outs, img_shapes, scale_factors, tcfg, lcfg,
+                  rescale: bool = True, loc_thr: float = 0.01):
+    """GA-RPN proposal decode (reference `ga_rpn_head.py:63-140`): binary
+    objectness on loc-masked guided anchors, delta decode, NMS; emitted as
+    label-0 Detections (the standalone-RPN proposal evaluation surface)."""
+    from .dense_loss import _ga_guided_anchors
+    cls = jnp.concatenate([m.reshape(m.shape[0], -1, 1)
+                           for m in outs["cls"]], axis=1)[..., 0]
+    reg = jnp.concatenate([m.reshape(m.shape[0], -1, 4)
+                           for m in outs["reg"]], axis=1)
+    loc = jnp.concatenate([m.reshape(m.shape[0], -1)
+                           for m in outs["loc"]], axis=1)
+    anchors = _ga_guided_anchors(outs, lcfg)
+
+    def single(cls_i, reg_i, loc_i, anchors_i, img_shape, sf):
+        scores = jax.nn.sigmoid(cls_i.astype(jnp.float32))[:, None]
         keep = (jax.nn.sigmoid(loc_i.astype(jnp.float32))
                 > loc_thr)[:, None]
         scores = scores * keep.astype(scores.dtype)

@@ -15,6 +15,7 @@ over the batch — no per-image python loops (SURVEY §7 design stance).
 
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 from typing import Dict, Sequence, Tuple
 
@@ -265,8 +266,9 @@ def dense_loss(outs, batch, cfg: DenseLossConfig):
             "atss": atss_loss, "gfl": gfl_loss, "ssd": ssd_loss,
             "fovea": fovea_loss, "fsaf": fsaf_loss,
             "free_anchor": free_anchor_loss,
-            "pisa_retina": pisa_retina_loss,
-            "ga_retina": ga_retina_loss}[cfg.head](outs, batch, cfg)
+            "pisa_retina": pisa_retina_loss, "pisa_ssd": pisa_ssd_loss,
+            "ga_retina": ga_retina_loss,
+            "ga_rpn": ga_rpn_loss}[cfg.head](outs, batch, cfg)
 
 
 # ------------------------------------------------------------------- GFL ---
@@ -780,6 +782,92 @@ def pisa_retina_loss(outs: Dict[str, Sequence[Array]],
     return sum(losses.values()), losses
 
 
+def pisa_ssd_loss(outs: Dict[str, Sequence[Array]], batch: Dict[str, Array],
+                  cfg: DenseLossConfig, isr_k: float = 2.0,
+                  isr_bias: float = 0.25, carl_k: float = 1.0,
+                  carl_bias: float = 0.25, carl_weight: float = 5.0):
+    """PISA SSD (reference `pisa_ssd_head.py:11-140`): the SSD multibox
+    loss with ISR-P importance reweighting of positive CE (IoU-HLR ranks,
+    `losses/pisa_loss.py isr_p`) and the CARL classification-aware
+    regression term (`pisa_loss.py carl_loss`); negatives keep the 3:1
+    online hard-negative mining."""
+    anchors_np, counts, num_base = _ssd_anchors(cfg)
+    anchors = jnp.asarray(anchors_np)
+    C = cfg.num_classes
+    cls = _ssd_flatten(outs["cls"], num_base, C + 1).astype(jnp.float32)
+    reg = _ssd_flatten(outs["reg"], num_base, 4).astype(jnp.float32)
+    N = anchors.shape[0]
+    from ..models.losses.common import bbox_overlaps_aligned
+
+    def single(cls_i, reg_i, gt_bboxes, gt_valid, gt_labels, img_shape):
+        res = max_iou_assign(anchors, jnp.ones((N,), bool), gt_bboxes,
+                             gt_valid, pos_iou_thr=0.5, neg_iou_thr=0.5,
+                             min_pos_iou=0.0, gt_max_assign_all=False)
+        pos = res.gt_idx >= 0
+        posf = pos.astype(jnp.float32)
+        labels = jnp.where(pos, gt_labels[jnp.maximum(res.gt_idx, 0)], C)
+        logp = jax.nn.log_softmax(cls_i, axis=-1)
+        ce = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        num_pos = jnp.sum(posf)
+        neg = ~pos & ~res.ignore
+        n_neg = jnp.minimum(cfg.ssd_neg_pos_ratio * num_pos,
+                            jnp.sum(neg.astype(jnp.float32)))
+        neg_ce = jnp.where(neg, ce, -jnp.inf)
+        sorted_ce = jax.lax.top_k(neg_ce, N)[0]
+        kth = sorted_ce[jnp.clip(n_neg.astype(jnp.int32) - 1, 0, N - 1)]
+        neg_sel = neg & (ce >= kth) & (n_neg > 0)
+
+        tgt = jnp.where(pos[:, None], gt_bboxes[jnp.maximum(res.gt_idx, 0)],
+                        anchors)
+        deltas = bbox2delta(anchors, tgt, stds=cfg.ssd_stds)
+
+        # ISR-P importance (IoU-HLR) on positives
+        pred_boxes = jax.lax.stop_gradient(
+            delta2bbox(anchors, reg_i, stds=cfg.ssd_stds))
+        ious = bbox_overlaps_aligned(pred_boxes, tgt)
+        M = gt_bboxes.shape[0]
+        grp_gt = (labels * (M + 1)
+                  + jnp.maximum(res.gt_idx, 0)).astype(jnp.int32)
+        r_local = _rank_in_groups(ious, grp_gt, pos)
+        max_l = jnp.maximum(
+            jnp.max(jnp.zeros((C + 1,), jnp.int32).at[labels].add(
+                pos.astype(jnp.int32))[:C]), 1).astype(jnp.float32)
+        key2 = ious + (max_l - r_local.astype(jnp.float32))
+        r_hlr = _rank_in_groups(key2, labels.astype(jnp.int32), pos)
+        imp = jnp.clip((max_l - r_hlr.astype(jnp.float32)) / max_l, 0.0)
+        imp = (isr_bias + imp * (1 - isr_bias)) ** isr_k
+        ori = jnp.sum(ce * posf)
+        new = jnp.maximum(jnp.sum(ce * posf * imp), 1e-12)
+        imp = imp * (ori / new)
+        loss_cls = (jnp.sum(ce * posf * imp)
+                    + jnp.sum(ce * neg_sel.astype(jnp.float32)))
+
+        diff = jnp.abs(reg_i - deltas)
+        b = cfg.ssd_smoothl1_beta
+        sl1 = jnp.where(diff < b, 0.5 * diff * diff / b,
+                        diff - 0.5 * b).sum(-1)
+        loss_bbox = jnp.sum(sl1 * posf)
+
+        # CARL: regression weighted by the softmax prob of the true class
+        p_all = jax.nn.softmax(cls_i, axis=-1)
+        p_cls = jnp.take_along_axis(
+            p_all, jnp.clip(labels, 0, C - 1)[:, None], axis=-1)[:, 0]
+        cw = (carl_bias + (1 - carl_bias) * p_cls) ** carl_k
+        np_ = jnp.maximum(num_pos, 1.0)
+        cw = cw * np_ / jnp.maximum(jnp.sum(cw * posf), 1e-12)
+        loss_carl = jnp.sum(sl1 / np_ * cw * posf) * carl_weight / np_
+        return loss_cls, loss_bbox, loss_carl, num_pos
+
+    lc, lb, lcarl, np_ = jax.vmap(single)(
+        cls, reg, batch["gt_bboxes"], batch["gt_valid"],
+        batch["gt_labels"], batch["img_shape"])
+    denom = jnp.maximum(jnp.sum(np_), 1.0)
+    losses = {"loss_cls": jnp.sum(lc) / denom * cfg.cls_weight,
+              "loss_bbox": jnp.sum(lb) / denom * cfg.bbox_weight,
+              "loss_carl": lcarl.mean()}
+    return sum(losses.values()), losses
+
+
 # ------------------------------------------------------ Guided Anchoring ---
 
 def _ga_guided_anchors(outs, cfg: DenseLossConfig, octave_base: float = 8.0):
@@ -795,6 +883,27 @@ def _ga_guided_anchors(outs, cfg: DenseLossConfig, octave_base: float = 8.0):
     cx = pts[None, :, 0]
     cy = pts[None, :, 1]
     return jnp.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2], -1)
+
+
+def _ga_center_mask(cfg: DenseLossConfig, pts, stride, gt_bboxes, gt_valid,
+                    ratio):
+    """(N, M) cell centers inside the ratio-shrunk gt at the matched
+    level (scale -> level via log2(sqrt(area))/octave)."""
+    cx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) / 2
+    cy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) / 2
+    hw = (gt_bboxes[:, 2] - gt_bboxes[:, 0]) * ratio / 2
+    hh = (gt_bboxes[:, 3] - gt_bboxes[:, 1]) * ratio / 2
+    scale = jnp.sqrt(jnp.clip(
+        (gt_bboxes[:, 2] - gt_bboxes[:, 0])
+        * (gt_bboxes[:, 3] - gt_bboxes[:, 1]), 1.0))
+    gt_lvl = jnp.clip(jnp.floor(jnp.log2(scale / 8.0) + 0.5), 0,
+                      len(cfg.strides) - 1)
+    pt_lvl = jnp.log2(stride / cfg.strides[0])
+    same_lvl = pt_lvl[:, None] == gt_lvl[None, :]
+    inside = ((pts[:, None, 0] >= cx - hw) & (pts[:, None, 0] <= cx + hw)
+              & (pts[:, None, 1] >= cy - hh)
+              & (pts[:, None, 1] <= cy + hh))
+    return inside & same_lvl & gt_valid[None, :]
 
 
 def ga_retina_loss(outs: Dict[str, Sequence[Array]],
@@ -820,24 +929,7 @@ def ga_retina_loss(outs: Dict[str, Sequence[Array]],
     anchors_all = _ga_guided_anchors(outs, cfg)
     from ..models.losses.common import iou_loss
 
-    def center_mask(gt_bboxes, gt_valid, ratio):
-        """(N, M) cell centers inside the ratio-shrunk gt at the matched
-        level (scale -> level via log2(sqrt(area))/octave)."""
-        cx = (gt_bboxes[:, 0] + gt_bboxes[:, 2]) / 2
-        cy = (gt_bboxes[:, 1] + gt_bboxes[:, 3]) / 2
-        hw = (gt_bboxes[:, 2] - gt_bboxes[:, 0]) * ratio / 2
-        hh = (gt_bboxes[:, 3] - gt_bboxes[:, 1]) * ratio / 2
-        scale = jnp.sqrt(jnp.clip(
-            (gt_bboxes[:, 2] - gt_bboxes[:, 0])
-            * (gt_bboxes[:, 3] - gt_bboxes[:, 1]), 1.0))
-        gt_lvl = jnp.clip(jnp.floor(jnp.log2(scale / 8.0) + 0.5), 0,
-                          len(cfg.strides) - 1)
-        pt_lvl = jnp.log2(stride / cfg.strides[0])
-        same_lvl = pt_lvl[:, None] == gt_lvl[None, :]
-        inside = ((pts[:, None, 0] >= cx - hw) & (pts[:, None, 0] <= cx + hw)
-                  & (pts[:, None, 1] >= cy - hh)
-                  & (pts[:, None, 1] <= cy + hh))
-        return inside & same_lvl & gt_valid[None, :]
+    center_mask = functools.partial(_ga_center_mask, cfg, pts, stride)
 
     def single(cls_i, reg_i, loc_i, anchors_i, gt_bboxes, gt_valid,
                gt_labels):
@@ -886,4 +978,77 @@ def ga_retina_loss(outs: Dict[str, Sequence[Array]],
     losses = {"loss_loc": ll.mean(), "loss_shape": ls.mean(),
               "loss_cls": lc.mean() * cfg.cls_weight,
               "loss_bbox": lb.mean() * cfg.bbox_weight}
+    return sum(losses.values()), losses
+
+
+def ga_rpn_loss(outs: Dict[str, Sequence[Array]], batch: Dict[str, Array],
+                cfg: DenseLossConfig, center_ratio: float = 0.2,
+                ignore_ratio: float = 0.5, loc_weight: float = 1.0,
+                shape_weight: float = 1.0, num_samples: int = 256):
+    """Guided-Anchoring RPN loss (reference `ga_rpn_head.py:40-61` routing
+    into `guided_anchor_head.py loss`): the GA loc/shape branches as in
+    :func:`ga_retina_loss`, with RPN-style binary objectness — MaxIoU
+    assignment on the (stop-grad) guided anchors at 0.7/0.3 thresholds,
+    sampled BCE + SmoothL1 deltas."""
+    pts = P.multi_level_points(cfg.image_shape, cfg.strides)
+    stride = pts[:, 2]
+    cls = _flatten(outs["cls"], 1)[..., 0].astype(jnp.float32)
+    reg = _flatten(outs["reg"], 4).astype(jnp.float32)
+    loc = _flatten(outs["loc"], 1)[..., 0].astype(jnp.float32)
+    anchors_all = _ga_guided_anchors(outs, cfg)
+    from ..models.losses.common import iou_loss
+    center_mask = functools.partial(_ga_center_mask, cfg, pts, stride)
+
+    def single(cls_i, reg_i, loc_i, anchors_i, gt_bboxes, gt_valid):
+        areas = jnp.clip((gt_bboxes[:, 2] - gt_bboxes[:, 0])
+                         * (gt_bboxes[:, 3] - gt_bboxes[:, 1]), 0.0)
+        pos_m = center_mask(gt_bboxes, gt_valid, center_ratio)
+        ign_m = center_mask(gt_bboxes, gt_valid, ignore_ratio)
+        loc_pos = jnp.any(pos_m, -1)
+        loc_ign = jnp.any(ign_m, -1) & ~loc_pos
+        n_loc_pos = jnp.maximum(jnp.sum(loc_pos.astype(jnp.float32)), 1.0)
+        lw = jnp.where(loc_ign, 0.0, 1.0)
+        loss_loc = sigmoid_focal_loss(
+            loc_i[:, None], jnp.where(loc_pos, 0, 1), lw,
+            num_classes=1, avg_factor=n_loc_pos) * loc_weight
+
+        rank = jnp.where(pos_m, areas[None, :], INF)
+        gi = jnp.argmin(rank, -1)
+        tgt = gt_bboxes[gi]
+        posf_loc = loc_pos.astype(jnp.float32)
+        loss_shape = iou_loss(anchors_i, tgt, posf_loc, reduction="sum"
+                              ) / n_loc_pos * shape_weight
+
+        ga = jax.lax.stop_gradient(anchors_i)
+        res = max_iou_assign(ga, jnp.ones(ga.shape[:1], bool), gt_bboxes,
+                             gt_valid, pos_iou_thr=0.7, neg_iou_thr=0.3,
+                             min_pos_iou=0.3)
+        pos = res.gt_idx >= 0
+        posf = pos.astype(jnp.float32)
+        neg = (~pos) & ~res.ignore
+        n_pos = jnp.sum(posf)
+        neg_quota = jnp.maximum(num_samples - n_pos, 1.0)
+        neg_rank = jnp.where(neg, cls_i, -jnp.inf)
+        thr_k = min(num_samples, cls_i.shape[0])
+        top_neg, _ = jax.lax.top_k(neg_rank, thr_k)
+        kth = top_neg[jnp.clip(neg_quota.astype(jnp.int32) - 1, 0,
+                               thr_k - 1)]
+        neg_sel = neg & (cls_i >= kth)
+        wc = posf + neg_sel.astype(jnp.float32)
+        n_samp = jnp.maximum(jnp.sum(wc), 1.0)
+        loss_cls = jnp.sum(_bce_logits(cls_i, posf) * wc) / n_samp
+        safe = jnp.where(pos[:, None],
+                         gt_bboxes[jnp.maximum(res.gt_idx, 0)], ga)
+        deltas = bbox2delta(ga, safe, stds=cfg.target_stds)
+        diff = jnp.abs(reg_i - deltas)
+        sl1 = jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5).sum(-1)
+        loss_bbox = jnp.sum(sl1 * posf) / n_samp
+        return loss_loc, loss_shape, loss_cls, loss_bbox
+
+    ll, ls, lc, lb = jax.vmap(single)(cls, reg, loc, anchors_all,
+                                      batch["gt_bboxes"],
+                                      batch["gt_valid"])
+    losses = {"loss_anchor_loc": ll.mean(), "loss_anchor_shape": ls.mean(),
+              "loss_rpn_cls": lc.mean() * cfg.cls_weight,
+              "loss_rpn_bbox": lb.mean() * cfg.bbox_weight}
     return sum(losses.values()), losses

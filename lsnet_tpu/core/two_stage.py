@@ -91,14 +91,20 @@ def _rois_with_batch_idx(proposals: Array) -> Array:
 
 
 def sample_rois(proposals: Array, prop_valid: Array, gt_bboxes: Array,
-                gt_valid: Array, gt_labels: Array, cfg: TwoStageConfig):
+                gt_valid: Array, gt_labels: Array, cfg: TwoStageConfig,
+                pos_iou=None):
     """Fixed-quota RoI sampling + targets (reference RandomSampler +
     bbox target encoding, deterministic TPU variant).
+
+    ``pos_iou`` optionally overrides the static threshold with a traced
+    scalar (Dynamic R-CNN adapts it between iterations).
 
     Returns dict with rois (B, S, 4), labels (B, S) (num_classes =
     background), reg targets (B, S, 4), pos mask, valid mask."""
     S = cfg.rcnn_num_samples
     n_pos_max = int(S * cfg.rcnn_pos_fraction)
+    if pos_iou is None:
+        pos_iou = cfg.rcnn_pos_iou
 
     def single(props, pvalid, gts, gvalid, glabels):
         # append GT boxes as candidate positives (reference add_gt_as_proposals)
@@ -108,8 +114,8 @@ def sample_rois(proposals: Array, prop_valid: Array, gt_bboxes: Array,
         ious = jnp.where(cvalid[:, None] & gvalid[None, :], ious, -1.0)
         max_iou = ious.max(axis=1)
         arg = ious.argmax(axis=1)
-        is_pos = (max_iou >= cfg.rcnn_pos_iou) & cvalid
-        is_neg = (max_iou < cfg.rcnn_pos_iou) & (max_iou >= 0) & cvalid
+        is_pos = (max_iou >= pos_iou) & cvalid
+        is_neg = (max_iou < pos_iou) & (max_iou >= 0) & cvalid
 
         # deterministic quota: top-IoU positives, then top-scoring... use
         # highest-IoU negatives first (hard negatives)
@@ -185,10 +191,12 @@ def rpn_loss(rpn_outs: Dict[str, Sequence[Array]], batch: Dict[str, Array],
 
 
 def rcnn_loss(cls_logits: Array, reg: Array, labels: Array, deltas: Array,
-              pos: Array, valid: Array, cfg: TwoStageConfig):
+              pos: Array, valid: Array, cfg: TwoStageConfig,
+              smoothl1_beta=1.0):
     """Softmax CE + per-class smooth-L1 on sampled RoIs.
 
     cls_logits (B*S, C+1), reg (B*S, 4C); labels/deltas/pos/valid (B, S...).
+    ``smoothl1_beta`` may be a traced scalar (Dynamic R-CNN).
     """
     C = cfg.num_classes
     BS = cls_logits.shape[0]
@@ -200,12 +208,14 @@ def rcnn_loss(cls_logits: Array, reg: Array, labels: Array, deltas: Array,
     n_valid = jnp.maximum(jnp.sum(valid_f), 1.0)
     loss_cls = jnp.sum(ce * valid_f) / n_valid
 
-    reg = reg.reshape(BS, C, 4).astype(jnp.float32)
-    cls_idx = jnp.clip(labels_f, 0, C - 1)
+    n_reg = reg.shape[-1] // 4
+    reg = reg.reshape(BS, n_reg, 4).astype(jnp.float32)
+    cls_idx = jnp.clip(jnp.minimum(labels_f, n_reg - 1), 0, n_reg - 1)
     reg_sel = jnp.take_along_axis(reg, cls_idx[:, None, None].repeat(4, -1),
                                   axis=1)[:, 0]
     diff = jnp.abs(reg_sel - deltas.reshape(BS, 4))
-    sl1 = jnp.where(diff < 1.0, 0.5 * diff * diff, diff - 0.5).sum(-1)
+    b = smoothl1_beta
+    sl1 = jnp.where(diff < b, 0.5 * diff * diff / b, diff - 0.5 * b).sum(-1)
     # reference avg_factor = bbox_targets.size(0) — all 512 sampled rois
     # (`bbox_head.py` loss), not just positives
     loss_reg = jnp.sum(sl1 * pos_f) / n_valid
@@ -232,6 +242,92 @@ def two_stage_loss(model, variables, batch: Dict[str, Array],
     losses = {"loss_rpn_cls": l_rpn_cls, "loss_rpn_bbox": l_rpn_reg,
               "loss_cls": l_cls, "loss_bbox": l_reg}
     return sum(losses.values()), losses
+
+
+def dynamic_rcnn_loss(model, variables, batch: Dict[str, Array],
+                      cfg: TwoStageConfig, iou_thr, beta,
+                      iou_topk: int = 75, beta_topk: int = 10):
+    """Dynamic R-CNN training loss (reference
+    `roi_heads/dynamic_roi_head.py:12-152`): the RoI positive-IoU threshold
+    and the SmoothL1 beta are TRACED scalars adapted between iterations by
+    :class:`DynamicRCNNSchedule` from the returned statistics:
+
+    * ``stat_iou``  — mean over images of the ``iou_topk``-th largest
+      proposal-to-GT IoU (`dynamic_roi_head.py:76-80`)
+    * ``stat_beta`` — the ``beta_topk * B``-th smallest positive-target
+      mean(|dx|,|dy|) (`dynamic_roi_head.py:118-124`)
+    """
+    feats = model.apply(variables, batch["image"], method="extract")
+    rpn_outs = model.apply(variables, feats, method="rpn")
+    l_rpn_cls, l_rpn_reg = rpn_loss(rpn_outs, batch, cfg)
+    props, pvalid = rpn_proposals(
+        jax.tree.map(jax.lax.stop_gradient, rpn_outs),
+        batch["img_shape"], cfg)
+    rois, labels, deltas, pos, valid = sample_rois(
+        props, pvalid, batch["gt_bboxes"], batch["gt_valid"],
+        batch["gt_labels"], cfg, pos_iou=iou_thr)
+    cls_logits, reg = model.apply(
+        variables, feats, _rois_with_batch_idx(rois), method="roi_forward")
+    l_cls, l_reg = rcnn_loss(cls_logits, reg, labels, deltas, pos, valid,
+                             cfg, smoothl1_beta=beta)
+
+    # --- adaptation statistics (host reads them between steps)
+    def img_iou(props_i, pvalid_i, gts, gvalid):
+        ious = box_iou(props_i, gts)
+        ious = jnp.where(pvalid_i[:, None] & gvalid[None, :], ious, 0.0)
+        mx = ious.max(axis=1)
+        k = min(iou_topk, mx.shape[0])
+        return jax.lax.top_k(mx, k)[0][k - 1]
+    stat_iou = jax.vmap(img_iou)(props, pvalid, batch["gt_bboxes"],
+                                 batch["gt_valid"]).mean()
+    err = jnp.abs(deltas.reshape(-1, 4)[:, :2]).mean(-1)
+    posf = pos.reshape(-1)
+    B = props.shape[0]
+    k = beta_topk * B
+    neg_sorted = jax.lax.top_k(jnp.where(posf, -err, -jnp.inf), k)[0]
+    kth = -neg_sorted[k - 1]
+    npos = jnp.sum(posf.astype(jnp.int32))
+    # fewer than k positives: use the largest positive error (k = num_pos)
+    largest = -jnp.max(jnp.where(posf, -err, -jnp.inf))
+    stat_beta = jnp.where(npos >= k, kth,
+                          jnp.where(npos > 0, largest, jnp.inf))
+    losses = {"loss_rpn_cls": l_rpn_cls, "loss_rpn_bbox": l_rpn_reg,
+              "loss_cls": l_cls, "loss_bbox": l_reg,
+              "stat_iou": jax.lax.stop_gradient(stat_iou),
+              "stat_beta": jax.lax.stop_gradient(stat_beta)}
+    total = l_rpn_cls + l_rpn_reg + l_cls + l_reg
+    return total, losses
+
+
+class DynamicRCNNSchedule:
+    """Host-side hyperparameter controller for Dynamic R-CNN (reference
+    `dynamic_roi_head.py update_hyperparameters:133-152`): every
+    ``update_iter_interval`` steps, iou_thr <- max(initial, mean(history))
+    and beta <- min(initial, median(history))."""
+
+    def __init__(self, initial_iou: float = 0.4, initial_beta: float = 1.0,
+                 update_iter_interval: int = 100):
+        self.initial_iou = initial_iou
+        self.initial_beta = initial_beta
+        self.interval = update_iter_interval
+        self.iou_thr = initial_iou
+        self.beta = initial_beta
+        self.iou_history = []
+        self.beta_history = []
+
+    def update(self, stat_iou: float, stat_beta: float):
+        self.iou_history.append(float(stat_iou))
+        if np.isfinite(stat_beta):
+            self.beta_history.append(float(stat_beta))
+        if len(self.iou_history) % self.interval == 0:
+            self.iou_thr = max(self.initial_iou,
+                               float(np.mean(self.iou_history)))
+            if self.beta_history:
+                self.beta = min(self.initial_beta,
+                                float(np.median(self.beta_history)))
+            self.iou_history = []
+            self.beta_history = []
+        return self.iou_thr, self.beta
 
 
 def two_stage_decode(model, variables, images: Array, img_shapes: Array,

@@ -69,6 +69,14 @@ class DatasetConfig:
     size_divisor: int = 32
     filter_empty: bool = True
     min_size: int = 32               # reference `coco.py` _filter_imgs
+    # training augmentation pipeline (reference transforms.py :508-933):
+    # list of dicts, e.g. (dict(type='PhotoMetricDistortion'),
+    # dict(type='Expand'), dict(type='MinIoURandomCrop')).  A
+    # dict(type='Resize') entry marks the resize position — augs before it
+    # run on the raw image, augs after it (e.g. RandomCrop with a
+    # crop_size in resized pixels) run post-resize.
+    augmentations: Tuple = ()
+    keep_ratio: bool = True          # False: exact img_scale resize (SSD)
 
     def test_scale(self) -> Tuple[int, int]:
         """Deterministic scale for test mode (first scale of the spec)."""
@@ -94,6 +102,12 @@ class CocoDataset:
         self.coco = CocoAnnotations.load(cfg.ann_file,
                                          person_only=cfg.task == "pose")
         self.img_infos = self._filter(self.coco.img_infos)
+        from .transforms import build_aug_pipeline
+        specs = list(cfg.augmentations or ())
+        split = next((i for i, s in enumerate(specs)
+                      if s.get("type") == "Resize"), len(specs))
+        self._aug_pre = build_aug_pipeline(specs[:split])
+        self._aug_post = build_aug_pipeline(specs[split + 1:])
 
     def _filter(self, infos: List[Dict]) -> List[Dict]:
         if self.test_mode or not self.cfg.filter_empty:
@@ -179,7 +193,33 @@ class CocoDataset:
         else:
             scale = sample_scale(self.cfg.img_scale, self.cfg.multiscale_mode,
                                  self.cfg.ratio_range, rng)
-        sample = resize_sample(sample, scale)
+
+        def resize_and_post(s, r):
+            s = resize_sample(s, scale, keep_ratio=self.cfg.keep_ratio)
+            if self._aug_post is not None and r is not None:
+                s = self._aug_post(s, r)
+            return s
+
+        if self.test_mode or rng is None or (self._aug_pre is None
+                                             and self._aug_post is None):
+            sample = resize_and_post(sample, rng)
+        else:
+            # augmentations can invalidate every GT (crop misses all boxes;
+            # reference returns None and skips the image) — retry with fresh
+            # randomness, falling back to the un-augmented sample
+            out = None
+            for _ in range(10):
+                s = sample
+                if self._aug_pre is not None:
+                    s = self._aug_pre(s, rng)
+                    if s is None:
+                        continue
+                s = resize_and_post(s, rng)
+                if s is not None:
+                    out = s
+                    break
+            sample = out if out is not None else resize_sample(
+                sample, scale, keep_ratio=self.cfg.keep_ratio)
         if not self.test_mode and rng is not None and rng.rand() < self.cfg.flip_ratio:
             sample = hflip_sample(sample)
         sample["image"] = normalize_image(sample["image"])

@@ -221,6 +221,27 @@ def build_head(cfg: Dict[str, Any]):
                   "test_cfg"):
             cfg.pop(k, None)
         return RetinaHead(**cfg), loss_cfgs
+    if kind == "PISASSDHead":
+        # same module as SSDHead; ISR-P/CARL live in the loss
+        # (core.dense_loss.pisa_ssd_loss)
+        anchor_gen = cfg.pop("anchor_generator", None)
+        for k in ("bbox_coder", "train_cfg", "test_cfg",
+                  "background_label", "reg_decoded_bbox"):
+            cfg.pop(k, None)
+        cfg["in_channels"] = tuple(cfg.get(
+            "in_channels", (512, 1024, 512, 256, 256, 256)))
+        if anchor_gen is not None:
+            cfg["num_base_anchors"] = tuple(
+                2 + 2 * len(r) for r in anchor_gen.get(
+                    "ratios", [[2], [2, 3], [2, 3], [2, 3], [2], [2]]))
+        return SSDHead(**cfg), loss_cfgs
+    if kind == "GARPNHead":
+        for k in ("approx_anchor_generator", "square_anchor_generator",
+                  "anchor_coder", "bbox_coder", "loc_filter_thr",
+                  "train_cfg", "test_cfg", "deform_groups", "num_classes"):
+            cfg.pop(k, None)
+        from .heads.dense import GARPNHead
+        return GARPNHead(**cfg), loss_cfgs
     if kind in ("RetinaHead", "RetinaSepBNHead", "FCOSHead", "ATSSHead",
                 "GFLHead", "SSDHead", "FoveaHead", "FSAFHead"):
         # assigner/coder/anchor settings live in the loss config, not the
@@ -296,6 +317,7 @@ def build_detector(cfg: Dict[str, Any]):
         n_base = (len(anchor_gen.get("ratios", [0.5, 1.0, 2.0]))
                   * len(anchor_gen.get("scales", [8])))
         roi_cfg = dict(cfg.pop("roi_head", {}))
+        roi_type = roi_cfg.get("type", "StandardRoIHead")
         bh = roi_cfg.get("bbox_head", {})
         if isinstance(bh, (list, tuple)):  # cascade: per-stage head list
             bh = bh[0] if bh else {}
@@ -304,6 +326,21 @@ def build_detector(cfg: Dict[str, Any]):
         rpn = RPNHead(num_base_anchors=n_base, **{
             k: v for k, v in rpn_cfg.items()
             if k in ("in_channels", "feat_channels")})
+        if roi_type == "DoubleHeadRoIHead":
+            from .heads.two_stage import (DoubleConvFCBBoxHead,
+                                          DoubleHeadRCNNDetector)
+            det = DoubleHeadRCNNDetector(
+                backbone=backbone, neck=neck, rpn_head=rpn,
+                bbox_head=DoubleConvFCBBoxHead(
+                    num_classes=num_classes,
+                    num_convs=bh.get("num_convs", 4),
+                    num_fcs=bh.get("num_fcs", 2),
+                    conv_channels=bh.get("conv_out_channels", 1024),
+                    fc_channels=bh.get("fc_out_channels", 1024),
+                    reg_class_agnostic=bh.get("reg_class_agnostic", False)),
+                reg_roi_scale_factor=roi_cfg.get(
+                    "reg_roi_scale_factor", 1.3))
+            return det, {"num_classes": num_classes}
         bbox_head = Shared2FCBBoxHead(
             num_classes=num_classes,
             fc_channels=bh.get("fc_out_channels", 1024),
@@ -374,6 +411,11 @@ def build_detector(cfg: Dict[str, Any]):
             det = TwoStageDetector(backbone=backbone, neck=neck,
                                    rpn_head=rpn, bbox_head=bbox_head)
         return det, {"num_classes": num_classes}
+    if kind == "RPN":
+        # standalone RPN trainer (reference `detectors/rpn.py`); the head
+        # config lives under ``rpn_head``
+        head, loss_cfgs = build_head(cfg.pop("rpn_head"))
+        return LSDetector(backbone=backbone, neck=neck, head=head), loss_cfgs
     head, loss_cfgs = build_head(cfg.pop("bbox_head"))
     if kind in ("LSDetector", "LSCPVDetector", "RetinaNet", "FCOS",
                 "ATSS", "GFL", "RepPointsDetector", "SingleStageDetector",

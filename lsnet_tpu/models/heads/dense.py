@@ -275,6 +275,54 @@ class RetinaSepBNHead(nn.Module):
         return {"cls": cls_maps, "reg": reg_maps}
 
 
+class GARPNHead(nn.Module):
+    """Guided-Anchoring RPN head (reference
+    `/root/reference/code/mmdet/models/dense_heads/ga_rpn_head.py:13-38`):
+    a 3x3 rpn conv + the GuidedAnchorHead branches with binary objectness
+    (1 guided anchor per cell) — loc / shape / deform-adapted cls+reg."""
+    in_channels: int = 256
+    feat_channels: int = 256
+
+    @nn.compact
+    def __call__(self, feats: Sequence[Array]) -> Dict[str, List[Array]]:
+        from ...ops.flat_deform import multilevel_modulated_dcn
+        rpn_conv = _conv3(self.feat_channels, "rpn_conv")
+        loc_out = nn.Conv(1, (1, 1), kernel_init=nn.initializers.normal(0.01),
+                          bias_init=nn.initializers.constant(_prior_bias),
+                          name="conv_loc")
+        shape_out = nn.Conv(2, (1, 1),
+                            kernel_init=nn.initializers.normal(0.01),
+                            name="conv_shape")
+        off = nn.Conv(2 * 9, (1, 1), kernel_init=nn.initializers.zeros,
+                      name="adaption_offset")
+        w_ad = self.param("adaption_weight", nn.initializers.normal(0.01),
+                          (3, 3, self.feat_channels, self.feat_channels),
+                          jnp.float32)
+        cls_out = nn.Conv(1, (1, 1),
+                          kernel_init=nn.initializers.normal(0.01),
+                          name="ga_cls")
+        reg_out = nn.Conv(4, (1, 1),
+                          kernel_init=nn.initializers.normal(0.01),
+                          name="ga_reg")
+        locs, shapes, xs, offs = [], [], [], []
+        for f in feats:
+            x = nn.relu(rpn_conv(f))
+            locs.append(loc_out(x))
+            shape = shape_out(x)
+            shapes.append(shape)
+            xs.append(x)
+            offs.append(off(jax.lax.stop_gradient(shape)).astype(f.dtype))
+        adapted = multilevel_modulated_dcn(
+            xs, offs, [None] * len(feats), w_ad.astype(feats[0].dtype))
+        cls_maps, reg_maps = [], []
+        for a in adapted:
+            a = nn.relu(a)
+            cls_maps.append(cls_out(a))
+            reg_maps.append(reg_out(a))
+        return {"cls": cls_maps, "reg": reg_maps, "loc": locs,
+                "shape": shapes}
+
+
 class GARetinaHead(nn.Module):
     """Guided-Anchoring RetinaNet head (reference
     `.../guided_anchor_head.py:865` + `ga_retina_head.py`): per-cell

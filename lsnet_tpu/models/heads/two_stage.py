@@ -139,6 +139,83 @@ class TwoStageDetector(nn.Module):
         return outs
 
 
+class DoubleConvFCBBoxHead(nn.Module):
+    """Double-Head R-CNN bbox head (reference
+    `/root/reference/code/mmdet/models/roi_heads/bbox_heads/
+    double_bbox_head.py:72-180`): a conv branch (BasicResBlock 256->1024 +
+    ``num_convs`` bottleneck blocks + avg-pool) regresses boxes from the
+    *reg* RoI features while an fc branch (``num_fcs`` FCs) classifies from
+    the *cls* RoI features."""
+    num_classes: int
+    num_convs: int = 4
+    num_fcs: int = 2
+    conv_channels: int = 1024
+    fc_channels: int = 1024
+    reg_class_agnostic: bool = False
+
+    @nn.compact
+    def __call__(self, cls_feats: Array, reg_feats: Array
+                 ) -> Tuple[Array, Array]:
+        from ..layers import FrozenBatchNorm
+
+        def conv_bn(x, ch, k, name, act=True):
+            x = nn.Conv(ch, (k, k), padding=[(k // 2,) * 2] * 2,
+                        use_bias=False, name=f"{name}_conv")(x)
+            x = FrozenBatchNorm(name=f"{name}_bn")(x)
+            return nn.relu(x) if act else x
+
+        # conv branch (BasicResBlock :9-68 then bottlenecks :122-131)
+        x = conv_bn(reg_feats, reg_feats.shape[-1], 3, "res_conv1")
+        x = conv_bn(x, self.conv_channels, 1, "res_conv2", act=False)
+        idt = conv_bn(reg_feats, self.conv_channels, 1, "res_identity",
+                      act=False)
+        x = nn.relu(x + idt)
+        mid = self.conv_channels // 4
+        for i in range(self.num_convs):
+            y = conv_bn(x, mid, 1, f"branch{i}_1")
+            y = conv_bn(y, mid, 3, f"branch{i}_2")
+            y = conv_bn(y, self.conv_channels, 1, f"branch{i}_3", act=False)
+            x = nn.relu(x + y)
+        x = jnp.mean(x, axis=(1, 2))                      # global avg pool
+        n_reg = 4 if self.reg_class_agnostic else 4 * self.num_classes
+        reg = nn.Dense(n_reg, kernel_init=nn.initializers.normal(0.001),
+                       name="fc_reg")(x)
+
+        # fc branch
+        f = cls_feats.reshape(cls_feats.shape[0], -1)
+        for i in range(self.num_fcs):
+            f = nn.relu(nn.Dense(self.fc_channels, name=f"fc_branch{i}")(f))
+        cls = nn.Dense(self.num_classes + 1,
+                       kernel_init=nn.initializers.normal(0.01),
+                       name="fc_cls")(f)
+        return cls, reg
+
+
+def _scale_rois(rois: Array, factor: float) -> Array:
+    """Rescale (N, 5) rois about their centers (reference
+    `single_level.py roi_rescale`)."""
+    cx = (rois[:, 1] + rois[:, 3]) * 0.5
+    cy = (rois[:, 2] + rois[:, 4]) * 0.5
+    hw = (rois[:, 3] - rois[:, 1]) * 0.5 * factor
+    hh = (rois[:, 4] - rois[:, 2]) * 0.5 * factor
+    return jnp.stack([rois[:, 0], cx - hw, cy - hh, cx + hw, cy + hh], -1)
+
+
+class DoubleHeadRCNNDetector(TwoStageDetector):
+    """Faster R-CNN with the Double Head RoI head (reference
+    `roi_heads/double_roi_head.py:8-34`): the reg branch extracts RoI
+    features at ``reg_roi_scale_factor`` x enlarged boxes."""
+    reg_roi_scale_factor: float = 1.3
+
+    def roi_forward(self, feats: Sequence[Array], rois: Array
+                    ) -> Tuple[Array, Array]:
+        cls_feats = multilevel_roi_align(list(feats), rois, self.strides)
+        reg_feats = multilevel_roi_align(
+            list(feats), _scale_rois(rois, self.reg_roi_scale_factor),
+            self.strides)
+        return self.bbox_head(cls_feats, reg_feats)
+
+
 class FCNMaskHead(nn.Module):
     """Mask R-CNN mask branch (reference
     `roi_heads/mask_heads/fcn_mask_head.py`): 4x conv3x3 -> 2x deconv ->

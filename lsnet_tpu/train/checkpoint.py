@@ -260,3 +260,94 @@ def convert_torch_neck(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     if unconsumed:
         raise ValueError(f"neck keys not recognized: {sorted(unconsumed)[:10]}")
     return params
+
+
+def convert_torch_lshead(state_dict: Dict[str, Any], task: str = "bbox"
+                         ) -> Dict[str, Any]:
+    """Reference LSHead ``state_dict`` (`lsnet_head.py:93-257` naming) ->
+    params subtree for :class:`lsnet_tpu.models.heads.ls_head.LSHead`.
+
+    Key map (norm-conv config):
+
+    * ``{b}_convs.{i}.conv/gn``        -> ``{b}_convs_{i}.conv/norm``
+    * ``{b}_GN``                       -> ``{b}_GN``
+    * ``pts_{t}_init_conv/out``, ``pts_{t}_refine_out``,
+      ``{t}_feat_conv``, ``pts_cls_out``  -> same names
+    * ``{t}_af_dcn_conv.0``            -> ``{t}_af_dcn_conv`` (the
+      reference wraps it in a Sequential with ReLU)
+    * ``pts_{main}_refine_conv.weight`` + ``pts_cls_conv.weight`` -> the
+      fused ``pts_{main}_cls_pair.weight_a/weight_b`` (this build runs the
+      main-refine and cls pyramid gathers as ONE double-width gather)
+    * other ``pts_*_refine_conv.weight`` (pose_bbox's bbox branch) ->
+      ``pts_*_refine_conv.weight``
+    """
+    main = {"bbox": "bbox", "segm": "segm", "pose_bbox": "pose",
+            "pose_kbox": "pose"}[task]
+    params: Dict[str, Any] = {}
+
+    def put(path, arr):
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = jnp.asarray(arr)
+
+    def conv_kernel(a):
+        return np.asarray(a).transpose(2, 3, 1, 0)
+
+    unconsumed = []
+    for key, val in state_dict.items():
+        k = key[len("module."):] if key.startswith("module.") else key
+        if k.startswith("bbox_head."):
+            k = k[len("bbox_head."):]
+        arr = _t2j(val) if hasattr(val, "detach") else np.asarray(val)
+        m = re.match(r"(cls|bbox|segm|pose)_convs\.(\d+)\.(conv|gn)\."
+                     r"(weight|bias)$", k)
+        if m:
+            b, i, sub, leaf = m.groups()
+            mod = f"{b}_convs_{i}"
+            if sub == "conv":
+                put([mod, "conv", "kernel" if leaf == "weight" else "bias"],
+                    conv_kernel(arr) if leaf == "weight" else arr)
+            else:
+                put([mod, "norm", "scale" if leaf == "weight" else "bias"],
+                    arr)
+            continue
+        m = re.match(r"(cls|bbox|segm|pose)_GN\.(weight|bias)$", k)
+        if m:
+            b, leaf = m.groups()
+            put([f"{b}_GN", "scale" if leaf == "weight" else "bias"], arr)
+            continue
+        m = re.match(r"pts_(bbox|segm|pose)_refine_conv\.weight$", k)
+        if m:
+            t = m.group(1)
+            if t == main:
+                put([f"pts_{main}_cls_pair", "weight_a"], conv_kernel(arr))
+            else:
+                put([f"pts_{t}_refine_conv", "weight"], conv_kernel(arr))
+            continue
+        if k == "pts_cls_conv.weight":
+            put([f"pts_{main}_cls_pair", "weight_b"], conv_kernel(arr))
+            continue
+        m = re.match(r"(cls|bbox|segm|pose)_af_dcn_conv\.0\.(weight|bias)$",
+                     k)
+        if m:
+            b, leaf = m.groups()
+            put([f"{b}_af_dcn_conv",
+                 "kernel" if leaf == "weight" else "bias"],
+                conv_kernel(arr) if leaf == "weight" else arr)
+            continue
+        m = re.match(r"(pts_(?:bbox|segm|pose)_(?:init_conv|init_out|"
+                     r"refine_out)|pts_cls_out|"
+                     r"(?:cls|bbox|segm|pose)_feat_conv)\.(weight|bias)$", k)
+        if m:
+            mod, leaf = m.group(1), m.group(2)
+            put([mod, "kernel" if leaf == "weight" else "bias"],
+                conv_kernel(arr) if leaf == "weight" else arr)
+            continue
+        if k == "dcn_base_offset" or k.endswith("num_batches_tracked"):
+            continue
+        unconsumed.append(k)
+    if unconsumed:
+        raise ValueError(
+            f"LSHead keys not recognized: {sorted(unconsumed)[:10]}")
+    return params

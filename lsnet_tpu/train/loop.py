@@ -102,6 +102,8 @@ def _head_cfg(cfg):
     first stage defines the shared schema (num_classes, task, ...)."""
     head = cfg.model.get(
         "bbox_head", cfg.model.get("roi_head", {}).get("bbox_head", {}))
+    if not head and cfg.model.get("type") == "RPN":
+        head = cfg.model.get("rpn_head", {})
     if isinstance(head, (list, tuple)):
         head = head[0] if head else {}
     return head
@@ -127,7 +129,9 @@ DENSE_HEAD_KINDS = {"RetinaHead": "retina", "RetinaSepBNHead": "retina",
                     "FSAFHead": "fsaf",
                     "FreeAnchorRetinaHead": "free_anchor",
                     "PISARetinaHead": "pisa_retina",
-                    "GARetinaHead": "ga_retina"}
+                    "PISASSDHead": "pisa_ssd",
+                    "GARetinaHead": "ga_retina",
+                    "GARPNHead": "ga_rpn"}
 
 
 def dense_cfg_from(cfg, image_shape):
@@ -136,13 +140,13 @@ def dense_cfg_from(cfg, image_shape):
     regress_ranges decode with the same anchors/points they trained with
     (ADVICE r2: the decode path used all-defaults)."""
     from ..core.dense_loss import DenseLossConfig
-    head = cfg.model.bbox_head
+    head = _head_cfg(cfg)
     kind = DENSE_HEAD_KINDS[head.type]
     tc = cfg.get("train_cfg", {})
     assigner = tc.get("assigner", {})
     ag = head.get("anchor_generator", {}) or {}
     extra = {}
-    if kind == "ssd":
+    if kind in ("ssd", "pisa_ssd"):
         extra = dict(
             strides=tuple(ag.get("strides", (8, 16, 32, 64, 100, 300))),
             ssd_input_size=ag.get("input_size", 300),
@@ -175,7 +179,7 @@ def dense_cfg_from(cfg, image_shape):
         extra["strides"] = tuple(head.get("strides", (8, 16, 32, 64, 128)))
     return DenseLossConfig(
         image_shape=image_shape,
-        num_classes=head.num_classes,
+        num_classes=head.get("num_classes", 1),
         head=kind,
         pos_iou_thr=assigner.get("pos_iou_thr", 0.5),
         neg_iou_thr=assigner.get("neg_iou_thr", 0.4),
@@ -217,7 +221,7 @@ def reppoints_cfg_from(cfg, image_shape):
 def make_loss_for(cfg, image_shape):
     """(loss_fn, loss_cfg) dispatch over the head family: LSHead ->
     lsnet_loss, LSCPVHead -> lscpv_loss, Retina/FCOS/ATSS -> dense_loss."""
-    head_type = cfg.model.bbox_head.type
+    head_type = _head_cfg(cfg).type
     if head_type == "RepPointsHead":
         from ..core.reppoints import reppoints_loss
         rcfg = reppoints_cfg_from(cfg, image_shape)
@@ -246,7 +250,7 @@ def test_cfg_from(cfg, image_shape) -> TestConfig:
         tc = tc.rcnn
     return TestConfig(
         image_shape=image_shape,
-        num_classes=head.num_classes,
+        num_classes=head.get("num_classes", 1),
         task=head.get("task", "bbox"),
         num_vectors=head.get("num_vectors", 4),
         point_strides=tuple(head.get("point_strides", (8, 16, 32, 64, 128))),
@@ -290,6 +294,8 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
         img_scale=img_scale,
         multiscale_mode=data_cfg.train.get("multiscale_mode", "range"),
         ratio_range=data_cfg.train.get("ratio_range"),
+        augmentations=tuple(data_cfg.train.get("augmentations", ()) or ()),
+        keep_ratio=data_cfg.train.get("keep_ratio", True),
         max_instances=cfg.get("max_instances", 100)))
     n_dev = jax.device_count()
     per_dev = data_cfg.get("samples_per_gpu", 2)
@@ -344,6 +350,16 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
     # the TPU analogue of the reference aspect-ratio GroupSampler)
     step_fns: Dict[Tuple[int, int], Any] = {}
 
+    dyn_sched = None
+    if (cfg.model.get("roi_head", {}).get("type") == "DynamicRoIHead"):
+        from ..core.two_stage import DynamicRCNNSchedule
+        dyn_cfg = (cfg.get("train_cfg", {}).get("rcnn", {})
+                   .get("dynamic_rcnn", {}))
+        dyn_sched = DynamicRCNNSchedule(
+            initial_iou=dyn_cfg.get("initial_iou", 0.4),
+            initial_beta=dyn_cfg.get("initial_beta", 1.0),
+            update_iter_interval=dyn_cfg.get("update_iter_interval", 100))
+
     def step_for(canvas_hw: Tuple[int, int]):
         if canvas_hw not in step_fns:
             if _is_two_stage(cfg):
@@ -352,7 +368,8 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
                                               mask_scoring_rcnn_loss,
                                               two_stage_loss)
                 tscfg = two_stage_cfg_from(cfg, canvas_hw)
-                from ..core.two_stage import (grid_rcnn_loss, htc_loss,
+                from ..core.two_stage import (dynamic_rcnn_loss,
+                                              grid_rcnn_loss, htc_loss,
                                               point_rend_loss)
                 ts_loss = {"MaskRCNN": mask_rcnn_loss,
                            "CascadeRCNN": cascade_rcnn_loss,
@@ -362,6 +379,16 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
                            "HTC": htc_loss,
                            "PointRend": point_rend_loss}.get(
                                cfg.model.type, two_stage_loss)
+                if dyn_sched is not None:
+                    # Dynamic R-CNN: thresholds ride the batch as traced
+                    # scalars; the schedule updates them from the returned
+                    # statistics (reference dynamic_roi_head.py)
+                    ts_loss = lambda model, variables, batch, tscfg: \
+                        dynamic_rcnn_loss(model, variables,
+                                          {k: v for k, v in batch.items()
+                                           if not k.startswith("dyn_")},
+                                          tscfg, batch["dyn_iou_thr"],
+                                          batch["dyn_beta"])
                 step_fns[canvas_hw] = make_train_step(
                     model, tx, None, mesh=mesh,
                     full_loss_fn=lambda variables, batch: ts_loss(
@@ -395,7 +422,13 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
                     break
                 batch_canvas = tuple(batch["image"].shape[1:3])
                 sharded = shard_batch_pytree(batch, mesh)
+                if dyn_sched is not None:
+                    sharded["dyn_iou_thr"] = jnp.float32(dyn_sched.iou_thr)
+                    sharded["dyn_beta"] = jnp.float32(dyn_sched.beta)
                 state, metrics = step_for(batch_canvas)(state, sharded)
+                if dyn_sched is not None:
+                    dyn_sched.update(float(metrics.pop("stat_iou")),
+                                     float(metrics.pop("stat_beta")))
                 ctx.state = state
                 ctx.iter = it
                 ctx.global_step = int(state.step)

@@ -650,16 +650,216 @@ def gen_backbone(out):
     print("backbone_fwd.npz written")
 
 
+def load_lshead_class():
+    """Load the reference LSHead (`lsnet_head.py:17-755`) as a RUNNABLE
+    torch module for the ``conv_module_type='norm'`` configuration.
+
+    torch is real; mmcv ConvModule/GN are minimal real layers, and
+    PyramidDeformConv is a pure-torch CPU port of the CUDA sampling
+    equations (`deform_conv_cuda_kernel.cu:249-302`: output grid =
+    offset's grid, base position scaled by (scale_h, scale_w), zero
+    outside, per-corner-bounds bilinear).  The DCN op itself is
+    parity-tested separately (tests/test_ops_deform.py); this loader
+    exists to test the ASSEMBLED head structure — towers, init heads,
+    get_pred_reg, gradient-mul, the in-place offset-scale compounding,
+    fuse convs, GN placement, refine softplus composition — end to end.
+    """
+    import math
+    import torch
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    class AttrDict(dict):
+        __getattr__ = dict.__getitem__
+
+    def bilinear_zero(x, ys, xs):
+        """x (B,C,H,W); ys/xs (B,K,Ho,Wo) -> (B,C,K,Ho,Wo); corners
+        outside [0,H)x[0,W) contribute 0 (CUDA im2col semantics)."""
+        B, C, H, W = x.shape
+        inb = (ys > -1) & (ys < H) & (xs > -1) & (xs < W)
+        y0 = torch.floor(ys)
+        x0 = torch.floor(xs)
+        out = 0
+        for dy in (0, 1):
+            for dx in (0, 1):
+                yi = y0 + dy
+                xi = x0 + dx
+                wgt = ((1 - (ys - y0 - dy).abs())
+                       * (1 - (xs - x0 - dx).abs()))
+                ok = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W) & inb
+                yc = yi.clamp(0, H - 1).long()
+                xc = xi.clamp(0, W - 1).long()
+                flat = (yc * W + xc).view(B, 1, -1).expand(B, C, -1)
+                v = torch.gather(x.reshape(B, C, H * W), 2, flat)
+                v = v.view(B, C, *ys.shape[1:])
+                out = out + v * (wgt * ok).unsqueeze(1)
+        return out
+
+    class PyramidDeformConv(nn.Module):
+        def __init__(self, in_channels, out_channels, kernel_size,
+                     stride=1, padding=0, dilation=1, groups=1,
+                     deformable_groups=1, bias=False):
+            super().__init__()
+            self.stride, self.padding, self.dilation = stride, padding, dilation
+            self.kernel_size = kernel_size
+            self.weight = nn.Parameter(torch.zeros(
+                out_channels, in_channels, kernel_size, kernel_size))
+
+        def forward(self, x, offset, scale_h, scale_w):
+            B, C, H, W = x.shape
+            _, K2, Ho, Wo = offset.shape
+            K = K2 // 2
+            kh = int(math.isqrt(K))
+            hs = (torch.arange(Ho).float() * self.stride - self.padding)
+            ws = (torch.arange(Wo).float() * self.stride - self.padding)
+            ty = (torch.arange(kh).float() * self.dilation
+                  ).repeat_interleave(kh)
+            tx = (torch.arange(kh).float() * self.dilation).repeat(kh)
+            off = offset.view(B, K, 2, Ho, Wo)
+            base_y = (hs.view(1, 1, Ho, 1) + ty.view(1, K, 1, 1)) * scale_h
+            base_x = (ws.view(1, 1, 1, Wo) + tx.view(1, K, 1, 1)) * scale_w
+            vals = bilinear_zero(x, base_y + off[:, :, 0],
+                                 base_x + off[:, :, 1])
+            w = self.weight.view(self.weight.shape[0], C, K)
+            return torch.einsum("bckhw,ock->bohw", vals, w)
+
+    def build_norm_layer(cfg, num_features, postfix=""):
+        name = f"gn{postfix}" if postfix else "gn"
+        return name, nn.GroupNorm(cfg["num_groups"], num_features)
+
+    class ConvModule(nn.Module):
+        def __init__(self, in_ch, out_ch, k, stride=1, padding=0,
+                     conv_cfg=None, norm_cfg=None, **kw):
+            super().__init__()
+            self.conv = nn.Conv2d(in_ch, out_ch, k, stride, padding,
+                                  bias=norm_cfg is None)
+            name, norm = build_norm_layer(norm_cfg, out_ch)
+            self.norm_name = name
+            self.add_module(name, norm)
+
+        def forward(self, x):
+            return torch.relu(getattr(self, self.norm_name)(self.conv(x)))
+
+    from functools import partial
+
+    def multi_apply(func, *args, **kwargs):
+        pfunc = partial(func, **kwargs) if kwargs else func
+        return tuple(map(list, zip(*map(pfunc, *args))))
+
+    _mk_module("mmcv")
+    _mk_module("mmcv.cnn", ConvModule=ConvModule,
+               bias_init_with_prob=lambda p: float(
+                   -np.log((1 - p) / p)),
+               normal_init=lambda *a, **k: None,
+               kaiming_init=lambda *a, **k: None)
+    _mk_module("mmdet")
+    _mk_module("mmdet.core", PointGenerator=_noop_factory("PointGenerator"),
+               build_assigner=lambda *a, **k: None,
+               build_sampler=lambda *a, **k: None,
+               images_to_levels=lambda *a, **k: None,
+               multi_apply=multi_apply,
+               multiclass_nms=lambda *a, **k: None,
+               multiclass_nms_lsvr=lambda *a, **k: None,
+               unmap=lambda *a, **k: None)
+    _mk_module("mmdet.ops", DeformConv=_noop_factory("DeformConv"),
+               PyramidDeformConv=PyramidDeformConv,
+               DeformConvPack=_noop_factory("DeformConvPack"),
+               ModulatedDeformConvPack=_noop_factory(
+                   "ModulatedDeformConvPack"))
+
+    class AnchorFreeHead(nn.Module):
+        """Minimal stand-in for `anchor_free_head.py:42-98`: attribute
+        setup + _init_layers(); losses are never called here."""
+
+        def __init__(self, num_classes, in_channels, feat_channels=256,
+                     stacked_convs=4, conv_cfg=None, norm_cfg=None,
+                     train_cfg=None, test_cfg=None, **kw):
+            super().__init__()
+            self.num_classes = num_classes
+            self.cls_out_channels = num_classes
+            self.in_channels = in_channels
+            self.feat_channels = feat_channels
+            self.stacked_convs = stacked_convs
+            self.conv_cfg = conv_cfg
+            self.norm_cfg = norm_cfg
+            self.train_cfg = train_cfg
+            self.test_cfg = test_cfg
+            self._init_layers()
+
+    pkg = _mk_module("refheads")
+    pkg.__path__ = []
+    _mk_module("refheads.builder", HEADS=_Registry(),
+               build_loss=lambda *a, **k: None)
+    sub = _mk_module("refheads.dense_heads")
+    sub.__path__ = []
+    _mk_module("refheads.dense_heads.anchor_free_head",
+               AnchorFreeHead=AnchorFreeHead)
+    mod = _load(f"{REF}/mmdet/models/dense_heads/lsnet_head.py",
+                "refheads.dense_heads.lsnet_head",
+                package="refheads.dense_heads")
+    return mod.LSHead, AttrDict
+
+
+def gen_head_forward(out):
+    """End-to-end forward goldens for the ASSEMBLED LSHead (all 4 tasks,
+    norm-conv config): seeded params + 5-level features -> per-level
+    cls/init/refine outputs + the full torch state_dict (tests convert it
+    through train/checkpoint.convert_torch_lshead and compare)."""
+    import torch
+    LSHead, AttrDict = load_lshead_class()
+    rng = np.random.RandomState(7)
+    C = 32
+    sizes = [(16, 24), (8, 12), (4, 6), (2, 3), (1, 2)]
+    data = {}
+    for task, nv in (("bbox", 4), ("segm", 36), ("pose_bbox", 17),
+                     ("pose_kbox", 17)):
+        torch.manual_seed(0)
+        head = LSHead(num_classes=4, in_channels=C, point_feat_channels=C,
+                      task=task, num_vectors=nv,
+                      feat_channels=C, stacked_convs=2,
+                      norm_cfg=AttrDict(type="GN", num_groups=8),
+                      loss_segm_init=dict(), loss_segm_refine=dict(),
+                      loss_pose_init=dict(), loss_pose_refine=dict())
+        with torch.no_grad():
+            for name, p in sorted(head.named_parameters()):
+                p.copy_(torch.tensor(
+                    rng.randn(*p.shape).astype(np.float32) * 0.05))
+            head.eval()
+            feats = [torch.tensor(rng.randn(1, C, h, w).astype(np.float32))
+                     for h, w in sizes]
+            (cls_outs, bbox_init, bbox_refine, segm_init, segm_refine,
+             pose_init, pose_refine) = head(feats)
+        pre = f"{task}::"
+        for i, f in enumerate(feats):
+            data[f"{pre}feat{i}"] = f.numpy().transpose(0, 2, 3, 1)
+        for nm, lst in (("cls", cls_outs), ("bbox_init", bbox_init),
+                        ("bbox_refine", bbox_refine),
+                        ("segm_init", segm_init),
+                        ("segm_refine", segm_refine),
+                        ("pose_init", pose_init),
+                        ("pose_refine", pose_refine)):
+            for i, f in enumerate(lst or []):
+                if f is not None:
+                    data[f"{pre}{nm}{i}"] = f.numpy().transpose(0, 2, 3, 1)
+        for k, v in head.state_dict().items():
+            data[f"{pre}sd::{k}"] = v.numpy()
+    np.savez_compressed(os.path.join(out, "head_forward.npz"), **data)
+    print("head_forward.npz written")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="tests/golden")
+    ap.add_argument("--only", default=None)
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
-    gen_cross_iou(args.out)
-    gen_head_encode(args.out)
-    gen_assigners(args.out)
-    gen_polygons(args.out)
-    gen_backbone(args.out)
+    gens = dict(cross_iou=gen_cross_iou, head_encode=gen_head_encode,
+                assigners=gen_assigners, polygons=gen_polygons,
+                backbone=gen_backbone, head_forward=gen_head_forward)
+    for name, fn in gens.items():
+        if args.only and name != args.only:
+            continue
+        fn(args.out)
     print("golden fixtures written to", args.out)
 
 
