@@ -146,8 +146,14 @@ class SampleJob(NamedTuple):
     dilation: Tuple[int, int]
 
 
-def _job_coords(job: SampleJob, K: int) -> Tuple[Array, Array]:
-    """Sample coordinates (B, Ho*Wo*K) in the source level's pixel units."""
+def _job_coords(job: SampleJob, K: int, tap_major: bool = False
+                ) -> Tuple[Array, Array]:
+    """Sample coordinates (B, Ho*Wo*K) in the source level's pixel units.
+
+    ``tap_major`` orders samples (k, y, x) instead of (y, x, k): the
+    gathered rows then reshape to (K, px, C) as a bitcast and contract as
+    a K-batched matmul — measured 1.16x over the (px, K*C) interleave at
+    X101 stage3 (docs/PERF.md round 4)."""
     B, Ho, Wo, _ = job.offset.shape
     kh = kw = int(np.sqrt(K))
     f32 = jnp.float32
@@ -160,9 +166,100 @@ def _job_coords(job: SampleJob, K: int) -> Tuple[Array, Array]:
     dxx = jnp.tile(jnp.arange(kw, dtype=f32) * job.dilation[1], kh)
     base_y = (hs + dyy[None, None, None, :]) * job.scale[0]
     base_x = (ws + dxx[None, None, None, :]) * job.scale[1]
-    ys = (base_y + off[..., 0]).reshape(B, -1)
-    xs = (base_x + off[..., 1]).reshape(B, -1)
-    return ys, xs
+    ys = base_y + off[..., 0]
+    xs = base_x + off[..., 1]
+    if tap_major:
+        ys = ys.transpose(0, 3, 1, 2)
+        xs = xs.transpose(0, 3, 1, 2)
+    return ys.reshape(B, -1), xs.reshape(B, -1)
+
+
+# Tap-major quad path (round 4): samples ordered (k, px) so the gathered
+# rows reshape to (K, px, C) as a bitcast and contract as a K-batched
+# matmul + sum — measured 1.16x over the (px, K*C) interleave at X101
+# stage3/4 widths (docs/PERF.md round 4). Applies to the quad (non-paired)
+# path; the paired path keeps its px-major layout (its win is the halved
+# backward scatter count, and pairing measured slower in tap form).
+TAP_MAJOR = [True]
+
+
+def _gather_indices_tap(levels: FlatLevels, jobs: Sequence[SampleJob],
+                        K: int):
+    """Tap-major flat corner indices + weights.
+
+    Returns (idx_cat (4, K, totpx) int32, w_cat (4, K, totpx) f32,
+    job_sizes) with totpx = sum_j B*HW_j; pixel order (job, b, y, x)."""
+    B = levels.B
+    img_base = (jnp.arange(B, dtype=jnp.int32) * levels.total)[:, None]
+    all_idx: List[Array] = []
+    all_w: List[Array] = []
+    job_sizes: List[int] = []
+    for job in jobs:
+        H, W = levels.shapes[job.src_level]
+        ys, xs = _job_coords(job, K, tap_major=True)      # (B, K*HW)
+        base_row = img_base + levels.offsets[job.src_level]
+        idxs, ws = _corner_data(ys, xs, H, W, base_row)
+        if job.mask is not None:
+            m = job.mask.transpose(0, 3, 1, 2).reshape(B, -1)
+            ws = [w * m.astype(jnp.float32) for w in ws]
+        hw = ys.shape[1] // K
+        job_sizes.append(ys.shape[1])                     # samples (HW*K)
+        i4 = jnp.stack(idxs).reshape(4, B, K, hw).transpose(0, 2, 1, 3)
+        w4 = jnp.stack(ws).reshape(4, B, K, hw).transpose(0, 2, 1, 3)
+        all_idx.append(i4.reshape(4, K, -1))
+        all_w.append(w4.reshape(4, K, -1))
+    idx_cat = jnp.concatenate(all_idx, axis=2)
+    w_cat = jnp.concatenate(all_w, axis=2)
+    return idx_cat, w_cat, job_sizes
+
+
+def _tap_weight(weight: Array, K: int, groups: int, dtype) -> Array:
+    """(kh, kw, C/G, cout) -> (K, C, cout) (block-diagonal when grouped)."""
+    C = weight.shape[2] * groups
+    cout = weight.shape[-1]
+    if groups == 1:
+        return weight.reshape(K, C, cout).astype(dtype)
+    return _blockdiag_weight(weight, K, groups).reshape(K, C, cout
+                                                        ).astype(dtype)
+
+
+def _tap_gather_contract(flat: Array, idx_cat: Array, w_cat: Array,
+                         wk: Array) -> Array:
+    """4-corner gather-accumulate + K-batched matmul + sum over K.
+
+    idx/w (4, K, px); wk (K, C, cout) -> (px, cout)."""
+    cdt = flat.dtype
+    i = idx_cat.reshape(4, -1)
+    w = w_cat.reshape(4, -1)
+    vals = flat[i[0]] * w[0][:, None].astype(cdt)
+    for c in range(1, 4):
+        vals = vals + flat[i[c]] * w[c][:, None].astype(cdt)
+    K, px = idx_cat.shape[1], idx_cat.shape[2]
+    v = vals.reshape(K, px, -1)
+    out = jax.lax.dot_general(v, wk, (((2,), (1,)), ((0,), (0,))),
+                              preferred_element_type=jnp.float32)
+    return out.sum(axis=0).astype(cdt)
+
+
+def _chunked_tap_matmul(flat: Array, idx_cat: Array, w_cat: Array,
+                        wk: Array, nchunks: int) -> Array:
+    """Pixel-chunked tap-major gather+contract (lax.map) — bounds the
+    patch transient exactly like :func:`_chunked_gather_matmul`."""
+    K, total_px = idx_cat.shape[1], idx_cat.shape[2]
+    px_c = -(-total_px // nchunks)
+    pad = px_c * nchunks - total_px
+    if pad:
+        idx_cat = jnp.pad(idx_cat, ((0, 0), (0, 0), (0, pad)))
+        w_cat = jnp.pad(w_cat, ((0, 0), (0, 0), (0, pad)))
+    idx_ch = idx_cat.reshape(4, K, nchunks, px_c).transpose(2, 0, 1, 3)
+    w_ch = w_cat.reshape(4, K, nchunks, px_c).transpose(2, 0, 1, 3)
+
+    def one(args):
+        ic, wc = args
+        return _tap_gather_contract(flat, ic, wc, wk)
+
+    out = jax.lax.map(one, (idx_ch, w_ch))
+    return out.reshape(-1, out.shape[-1])[:total_px]
 
 
 # Row-pair gather: the two x-corners (x0, x0+1) of a bilinear sample are
@@ -485,6 +582,19 @@ def batched_deform_matmul(levels: FlatLevels, jobs: Sequence[SampleJob],
         rows = levels.B * sum(
             j.offset.shape[1] * j.offset.shape[2] * K for j in jobs)
         over = rows * C > _CHUNK_BUDGET_ELEMS[0]
+        if TAP_MAJOR[0] and not _use_paired(C):
+            from .pallas_grouped import ENABLED, supported
+            if not (groups > 1 and ENABLED[0]
+                    and supported(K, C, groups, weight.shape[-1])):
+                idx_cat, w_cat, job_sizes = _gather_indices_tap(lv, jb, K)
+                wk = _tap_weight(weight, K, groups, flat.dtype)
+                if over:
+                    nchunks = -(-rows * C // _CHUNK_BUDGET_ELEMS[0])
+                    out = _chunked_tap_matmul(flat, idx_cat, w_cat, wk,
+                                              int(nchunks))
+                else:
+                    out = _tap_gather_contract(flat, idx_cat, w_cat, wk)
+                return _split_jobs(out, jb, job_sizes, K, lv.B)
         if _use_paired(C):
             pairs = _pair_view(flat)
             idx_cat, w_cat, job_sizes = _gather_indices_paired(lv, jb, K)

@@ -248,3 +248,59 @@ def test_paired_gather_matches_quad():
     finally:
         fd.PAIRED_X[0] = True
         fd.set_chunk_budget(256 * 1024 * 1024)
+
+
+def test_tap_major_matches_px_major():
+    """Round-4 tap-major quad path ((K, px, C) batched contraction) ==
+    px-major path, incl. grouped weights, masks, chunking, gradients."""
+    import numpy as np
+
+    from lsnet_tpu.ops import flat_deform as fd
+
+    rng = np.random.RandomState(1)
+    B, C, cout, G = 2, 16, 8, 4
+    K = 9
+    feats = [jnp.asarray(rng.randn(B, 8, 8, C).astype(np.float32)),
+             jnp.asarray(rng.randn(B, 4, 4, C).astype(np.float32))]
+    offs = [jnp.asarray(3.0 * rng.randn(B, h, w, 2 * K).astype(np.float32))
+            for h, w in ((8, 8), (4, 4))]
+    masks = [jnp.asarray(rng.rand(B, h, w, K).astype(np.float32))
+             for h, w in ((8, 8), (4, 4))]
+    w_dense = jnp.asarray(rng.randn(3, 3, C, cout).astype(np.float32))
+    w_grp = jnp.asarray(rng.randn(3, 3, C // G, cout).astype(np.float32))
+
+    def loss(w):
+        outs = fd.multilevel_modulated_dcn(feats, offs, masks, w)
+        return sum(jnp.sum(o ** 2) for o in outs)
+
+    try:
+        fd.PAIRED_X[0] = False       # force quad both ways
+        fd.TAP_MAJOR[0] = False
+        ref = fd.multilevel_modulated_dcn(feats, offs, masks, w_dense)
+        ref_g = fd.multilevel_modulated_dcn(feats, offs, masks, w_grp,
+                                            groups=G)
+        g_ref = jax.grad(loss)(w_dense)
+
+        fd.TAP_MAJOR[0] = True
+        got = fd.multilevel_modulated_dcn(feats, offs, masks, w_dense)
+        got_g = fd.multilevel_modulated_dcn(feats, offs, masks, w_grp,
+                                            groups=G)
+        g_got = jax.grad(loss)(w_dense)
+        for r, g in zip(ref + ref_g, got + got_g):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   rtol=2e-4, atol=2e-4)
+
+        # tap + chunked
+        fd.set_chunk_budget(1000)
+        got_c = fd.multilevel_modulated_dcn(feats, offs, masks, w_dense)
+        got_cg = fd.multilevel_modulated_dcn(feats, offs, masks, w_grp,
+                                             groups=G)
+        for r, g in zip(ref + ref_g, got_c + got_cg):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-5, atol=2e-5)
+    finally:
+        fd.PAIRED_X[0] = True
+        fd.TAP_MAJOR[0] = True
+        fd.set_chunk_budget(256 * 1024 * 1024)
