@@ -193,6 +193,16 @@ def build_head(cfg: Dict[str, Any]):
         if "num_points" in cfg:
             cfg["num_kernel_points"] = cfg.pop("num_points")
         return LSCPVHead(**cfg), loss_cfgs
+    if kind in ("DenseRepPointsHead", "DenseRepPointsV2Head"):
+        from .heads.dense_reppoints import (DenseRepPointsHead,
+                                            DenseRepPointsV2Head)
+        for k in ("train_cfg", "test_cfg", "transform_method",
+                  "sample_padding_mode", "use_grid_points", "center_init",
+                  "point_strides", "point_base_scale"):
+            cfg.pop(k, None)
+        cls_h = (DenseRepPointsHead if kind == "DenseRepPointsHead"
+                 else DenseRepPointsV2Head)
+        return cls_h(**cfg), loss_cfgs
     if kind in ("RepPointsHead", "RepPointsV2Head"):
         for k in ("use_grid_points", "center_init", "train_cfg",
                   "test_cfg"):
@@ -420,7 +430,8 @@ def build_detector(cfg: Dict[str, Any]):
     if kind in ("LSDetector", "LSCPVDetector", "RetinaNet", "FCOS",
                 "ATSS", "GFL", "RepPointsDetector", "SingleStageDetector",
                 "SSD", "FOVEA", "FoveaBox", "FSAF", "FreeAnchor",
-                "NASFCOS", "RepPointsV2Detector"):
+                "NASFCOS", "RepPointsV2Detector", "DenseRepPointsDetector",
+                "DenseRepPointsV2Detector"):
         # all single-stage: backbone -> neck -> head assembly
         return LSDetector(backbone=backbone, neck=neck, head=head), loss_cfgs
     det_cls = DETECTORS.get(kind)

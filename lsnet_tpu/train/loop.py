@@ -39,8 +39,8 @@ def loss_cfg_from(cfg, image_shape) -> LossConfig:
     return LossConfig(
         image_shape=image_shape,
         num_classes=head.num_classes,
-        task=head.task,
-        num_vectors=head.num_vectors,
+        task=head.get("task", "bbox"),
+        num_vectors=head.get("num_vectors", 4),
         point_strides=tuple(head.get("point_strides", (8, 16, 32, 64, 128))),
         point_base_scale=head.get("point_base_scale", 4),
         init_scale=tc.init.assigner.get("scale", 4),
@@ -118,7 +118,9 @@ def _head_num_vectors(cfg, head) -> int:
     return head.get("num_vectors",
                     36 if cfg.model.type in ("MaskRCNN", "MaskScoringRCNN",
                                              "HybridTaskCascade", "HTC",
-                                             "PointRend")
+                                             "PointRend",
+                                             "DenseRepPointsDetector",
+                                             "DenseRepPointsV2Detector")
                     else 4)
 
 
@@ -218,10 +220,40 @@ def reppoints_cfg_from(cfg, image_shape):
     )
 
 
+def dense_reppoints_cfg_from(cfg, image_shape):
+    from ..core.dense_reppoints import DenseRepPointsConfig
+    head = _head_cfg(cfg)
+    tc = cfg.get("train_cfg", {}) or {}
+    init_a = tc.get("init", {}).get("assigner", {})
+    ref_a = tc.get("refine", {}).get("assigner", {})
+    return DenseRepPointsConfig(
+        image_shape=image_shape,
+        num_classes=head.num_classes,
+        num_points=head.get("num_points", 729),
+        num_group=head.get("num_group", 9),
+        num_score_group=head.get("num_score_group", 121),
+        point_strides=tuple(head.get("point_strides",
+                                     (8, 16, 32, 64, 128))),
+        point_base_scale=head.get("point_base_scale", 4),
+        init_scale=init_a.get("scale", 4),
+        init_pos_num=init_a.get("pos_num", 1),
+        refine_pos_iou=ref_a.get("pos_iou_thr", 0.5),
+        refine_neg_iou=ref_a.get("neg_iou_thr", 0.4),
+        refine_min_pos_iou=ref_a.get("min_pos_iou", 0.0),
+    )
+
+
 def make_loss_for(cfg, image_shape):
     """(loss_fn, loss_cfg) dispatch over the head family: LSHead ->
     lsnet_loss, LSCPVHead -> lscpv_loss, Retina/FCOS/ATSS -> dense_loss."""
     head_type = _head_cfg(cfg).type
+    if head_type in ("DenseRepPointsHead", "DenseRepPointsV2Head"):
+        from ..core.dense_reppoints import (dense_reppoints_loss,
+                                            dense_reppoints_v2_loss)
+        dcfg = dense_reppoints_cfg_from(cfg, image_shape)
+        fn = (dense_reppoints_loss if head_type == "DenseRepPointsHead"
+              else dense_reppoints_v2_loss)
+        return lambda outs, batch: fn(outs, batch, dcfg)
     if head_type == "RepPointsHead":
         from ..core.reppoints import reppoints_loss
         rcfg = reppoints_cfg_from(cfg, image_shape)
@@ -279,7 +311,9 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
     task = {"bbox": "bbox", "segm": "segm",
             "pose_bbox": "pose", "pose_kbox": "pose"}[head.get("task", "bbox")]
     if cfg.model.type in ("MaskRCNN", "MaskScoringRCNN",
-                          "HybridTaskCascade", "HTC", "PointRend"):
+                          "HybridTaskCascade", "HTC", "PointRend",
+                          "DenseRepPointsDetector",
+                          "DenseRepPointsV2Detector"):
         task = "segm"   # the pipeline must carry gt_polygons for mask loss
     data_cfg = cfg.data
     raw_scale = data_cfg.train.get("img_scale", (1333, 800))
@@ -483,6 +517,19 @@ def evaluate_detector(cfg, model, state, canvas, *, batch_size: int = 8,
                 rcfg = reppoints_cfg_from(cfg, canvas_hw)
                 fn = jax.jit(lambda outs, shapes, sf: reppoints_v2_decode(
                     outs, shapes, sf, tcfg, rcfg))
+            elif head_type in ("DenseRepPointsHead",
+                               "DenseRepPointsV2Head"):
+                from ..core.decode import Detections
+                from ..core.dense_reppoints import dense_reppoints_decode
+                dcfg = dense_reppoints_cfg_from(cfg, canvas_hw)
+
+                def _drp(outs, shapes, sf, tcfg=tcfg, dcfg=dcfg):
+                    d = dense_reppoints_decode(outs, shapes, sf, tcfg, dcfg)
+                    lms = jnp.zeros((*d.bboxes.shape[:2], 8),
+                                    d.bboxes.dtype)
+                    return Detections(d.bboxes, d.scores, d.labels, lms,
+                                      d.valid)
+                fn = jax.jit(_drp)
             elif head_type == "LSCPVHead":
                 from ..core.cpv import lscpv_decode
                 fn = jax.jit(lambda outs, shapes, sf: lscpv_decode(
