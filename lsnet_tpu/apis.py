@@ -319,3 +319,48 @@ def show_result(img: np.ndarray, result: Dict[str, np.ndarray], task: str,
                                score_thr, out_file=out_file)
     return imshow_pose(img, result["bboxes"], result["landmarks"],
                        result["scores"], score_thr, out_file=out_file)
+
+
+async def async_inference_detector(bundle: DetectorBundle,
+                                   img) -> Dict[str, np.ndarray]:
+    """Asynchronous single-image inference (reference
+    `mmdet/apis/inference.py:101-118` + `utils/contextmanagers.py`).
+
+    JAX dispatch is already asynchronous; this coroutine preprocesses,
+    dispatches, then awaits device completion OFF the event loop so many
+    inferences can pipeline (`tests/test_async.py` pattern).
+    """
+    from .utils.contextmanagers import await_ready
+
+    if isinstance(img, str):
+        from PIL import Image
+        with Image.open(img) as im:
+            img = np.asarray(im.convert("RGB"))
+    H, W = img.shape[:2]
+    scale = tuple(bundle.cfg.data.test.get("img_scale", (1333, 800))
+                  ) if "data" in bundle.cfg else (1333, 800)
+    nh, nw = rescale_size(H, W, scale)
+    resized = resize_image(img, (nh, nw))
+    sf = np.array([nw / W, nh / H, nw / W, nh / H], np.float32)
+    norm = normalize_image(resized)
+    canvas = bucket_canvas(scale, H, W)
+    canvas_img = pad_to_shape(norm, canvas)
+    det = bundle.fwd_for(canvas)(bundle.variables,
+                                 jnp.asarray(canvas_img[None]),
+                                 jnp.asarray([[nh, nw]], jnp.int32),
+                                 jnp.asarray(sf[None]))
+    masks = None
+    if not isinstance(det, Detections) and isinstance(det, tuple):
+        det, masks = det
+    det = await await_ready(det)
+    det = jax.tree.map(np.asarray, det)
+    valid = det.valid[0]
+    out = {
+        "bboxes": det.bboxes[0][valid],
+        "scores": det.scores[0][valid],
+        "labels": det.labels[0][valid],
+        "landmarks": det.landmarks[0][valid],
+    }
+    if masks is not None:
+        out["masks"] = np.asarray(masks)[0][valid]
+    return out
