@@ -75,11 +75,43 @@ def main():
     e2e_rate = rate(e2e, variables, images, img_shapes, sfs)
     print(f"fwd-only: {fwd_rate:.2f} img/s/chip", file=sys.stderr)
 
+    # --- MFU / HBM accounting (VERDICT r3 #8): XLA's own cost analysis of
+    # the compiled e2e program vs the chip's peak numbers, so the headline
+    # is positioned against the roofline, not just the baseline.
+    PEAKS = {  # (bf16 FLOP/s, HBM B/s)
+        "TPU v5 lite": (197e12, 819e9),      # v5e
+        "TPU v5": (459e12, 2765e9),          # v5p
+        "TPU v4": (275e12, 1200e9),
+    }
+    kind = jax.devices()[0].device_kind
+    peak_flops, peak_bw = next(
+        (v for k, v in PEAKS.items() if kind.startswith(k)),
+        (197e12, 819e9))
+    mfu = hbm_util = None
+    try:
+        ca = (jax.jit(lambda v, im, sh, sf: e2e(v, im, sh, sf))
+              .lower(variables, images, img_shapes, sfs)
+              .compile().cost_analysis())
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        step_s = B / e2e_rate
+        mfu = float(ca.get("flops", 0.0)) / step_s / peak_flops
+        hbm_util = (float(ca.get("bytes accessed", 0.0)) / step_s
+                    / peak_bw)
+        print(f"cost analysis: {ca.get('flops', 0)/1e9:.1f} GFLOP, "
+              f"{ca.get('bytes accessed', 0)/1e9:.2f} GB per batch-{B} "
+              f"step -> MFU {mfu*100:.1f}%, HBM {hbm_util*100:.1f}% "
+              f"(peaks for '{kind}')", file=sys.stderr)
+    except Exception as ex:  # cost_analysis is best-effort on some stacks
+        print(f"cost analysis unavailable: {ex}", file=sys.stderr)
+
     print(json.dumps({
         "metric": "lsnet_x101_64x4d_dcn_e2e_throughput_800x1344_bf16",
         "value": round(e2e_rate, 2),
         "unit": "img/s/chip",
         "vs_baseline": round(e2e_rate / 100.0, 3),
+        "mfu": round(mfu, 4) if mfu else None,
+        "hbm_util": round(hbm_util, 4) if hbm_util else None,
     }))
 
 

@@ -44,8 +44,16 @@ def _shape_polygon(cls, sw, sh, x1, y1):
 def _draw_shape(arr, cls, rng, want_kps=False):
     from PIL import Image, ImageDraw
     h, w = arr.shape[:2]
-    sw = rng.randint(18, 56)
-    sh = rng.randint(18, 56)
+    if want_kps:
+        # pose: larger objects — OKS tolerance is sigma*sqrt(area); at the
+        # bbox-task sizes (18-56 px) even 2 px of error scores ~0.16 OKS
+        # with the COCO person sigmas, making the task intrinsically
+        # near-zero (diagnosed round 4). 56-100 px keeps it meaningful.
+        sw = rng.randint(56, min(100, w - 1))
+        sh = rng.randint(56, min(100, h - 1))
+    else:
+        sw = rng.randint(18, 56)
+        sh = rng.randint(18, 56)
     x1 = rng.randint(0, w - sw)
     y1 = rng.randint(0, h - sh)
     color = tuple(int(c) for c in rng.randint(100, 255, 3))
@@ -60,11 +68,15 @@ def _draw_shape(arr, cls, rng, want_kps=False):
     seg = [float(v) for p in poly for v in p]
     kps = None
     if want_kps:
-        # 17 "keypoints": center + 16 contour samples, all visible
+        # 17 keypoints at DISTINCT fractional positions of the bbox
+        # (center + 4x4 grid): every slot has a unique, identifiable
+        # target. The old center+contour-resample scheme duplicated
+        # rectangle vertices 4x, so keypoint identity was ambiguous and
+        # slot-wise OKS punished correct-but-permuted predictions.
         cx, cy = (bx1 + bx2) / 2, (by1 + by2) / 2
-        contour = np.asarray(poly)
-        idx = (np.arange(16) * len(poly)) // 16
-        pts = [(cx, cy)] + [tuple(contour[i]) for i in idx]
+        fr = (0.125, 0.375, 0.625, 0.875)
+        pts = [(cx, cy)] + [(bx1 + fx * (bx2 - bx1), by1 + fy * (by2 - by1))
+                            for fy in fr for fx in fr]
         kps = []
         for px, py in pts:
             kps += [float(px), float(py), 2]
@@ -80,7 +92,7 @@ def make_shapes_coco(root, n_images, seed, pose=False):
     aid = 1
     for i in range(n_images):
         arr = (rng.rand(IMG_H, IMG_W, 3) * 60).astype(np.uint8)
-        n_obj = rng.randint(1, 5)
+        n_obj = rng.randint(1, 3) if pose else rng.randint(1, 5)
         for _ in range(n_obj):
             cls = rng.randint(0, 3)
             bbox, seg, kps = _draw_shape(arr, cls, rng,
