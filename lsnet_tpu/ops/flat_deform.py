@@ -251,12 +251,20 @@ def _chunked_tap_matmul(flat: Array, idx_cat: Array, w_cat: Array,
     if pad:
         idx_cat = jnp.pad(idx_cat, ((0, 0), (0, 0), (0, pad)))
         w_cat = jnp.pad(w_cat, ((0, 0), (0, 0), (0, pad)))
-    idx_ch = idx_cat.reshape(4, K, nchunks, px_c).transpose(2, 0, 1, 3)
-    w_ch = w_cat.reshape(4, K, nchunks, px_c).transpose(2, 0, 1, 3)
+    idx_ch = (idx_cat.reshape(4, K, nchunks, px_c).transpose(2, 0, 1, 3)
+              .reshape(nchunks, 4, K * px_c))
+    w_ch = (w_cat.reshape(4, K, nchunks, px_c).transpose(2, 0, 1, 3)
+            .reshape(nchunks, 4, K * px_c))
 
+    # remat per chunk: lax.map's backward otherwise STACKS each chunk's
+    # saved patch/gradient tensors into full-size (nchunks, ...) residual
+    # buffers, defeating the chunking (measured: 9+ GB of HLO temps at B4
+    # train, work/train_b4.log round 4)
+    @jax.checkpoint
     def one(args):
         ic, wc = args
-        return _tap_gather_contract(flat, ic, wc, wk)
+        return _tap_gather_contract(flat, ic.reshape(4, K, px_c),
+                                    wc.reshape(4, K, px_c), wk)
 
     out = jax.lax.map(one, (idx_ch, w_ch))
     return out.reshape(-1, out.shape[-1])[:total_px]
@@ -410,10 +418,17 @@ def _chunked_paired_matmul(pairs_buf: Array, idx_cat: Array, w_cat: Array,
     if pad:
         idx_px = jnp.pad(idx_px, ((0, 0), (0, pad), (0, 0)))
         w_px = jnp.pad(w_px, ((0, 0), (0, pad), (0, 0), (0, 0)))
-    idx_ch = idx_px.reshape(2, nchunks, px_c, K).transpose(1, 0, 2, 3)
-    w_ch = w_px.reshape(2, nchunks, px_c, K, 2).transpose(1, 0, 2, 3, 4)
+    # flatten per-chunk index/weight blocks to (2, px_c*K[*2]): a trailing
+    # dim of K=9 pads 14x under the TPU (8,128) tile layout (262 MB per
+    # 18 MB logical buffer, work/train_b4.log round 4)
+    idx_ch = (idx_px.reshape(2, nchunks, px_c, K).transpose(1, 0, 2, 3)
+              .reshape(nchunks, 2, px_c * K))
+    w_ch = (w_px.reshape(2, nchunks, px_c, K, 2).transpose(1, 0, 2, 3, 4)
+            .reshape(nchunks, 2, px_c * K * 2))
     cdt = pairs_buf.dtype
 
+    # remat per chunk (see _chunked_tap_matmul)
+    @jax.checkpoint
     def one(args):
         ic, wc = args
         g = _paired_combine(pairs_buf, ic.reshape(2, -1),
@@ -451,11 +466,15 @@ def _chunked_gather_matmul(flat: Array, idx_cat: Array, w_cat: Array,
     if pad:
         idx_px = jnp.pad(idx_px, ((0, 0), (0, pad), (0, 0)))
         w_px = jnp.pad(w_px, ((0, 0), (0, pad), (0, 0)))
-    idx_ch = idx_px.reshape(4, nchunks, px_c, K).transpose(1, 0, 2, 3)
-    w_ch = w_px.reshape(4, nchunks, px_c, K).transpose(1, 0, 2, 3)
+    # flattened chunk blocks + per-chunk remat: see _chunked_paired_matmul
+    idx_ch = (idx_px.reshape(4, nchunks, px_c, K).transpose(1, 0, 2, 3)
+              .reshape(nchunks, 4, px_c * K))
+    w_ch = (w_px.reshape(4, nchunks, px_c, K).transpose(1, 0, 2, 3)
+            .reshape(nchunks, 4, px_c * K))
 
+    @jax.checkpoint
     def one(args):
-        ic, wc = args                                    # (4, px_c, K)
+        ic, wc = args                                    # (4, px_c*K)
         g = flat[ic[0].reshape(-1)] * wc[0].reshape(-1)[:, None].astype(cdt)
         for corner in range(1, 4):
             g = g + (flat[ic[corner].reshape(-1)]
