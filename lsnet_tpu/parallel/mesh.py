@@ -73,6 +73,31 @@ def is_main_process() -> bool:
     return jax.process_index() == 0
 
 
+def _pack_results(local_results: list):
+    """Pickle a per-host result list into a (payload, size) pair for the
+    all-gather. Split out of :func:`collect_results` so the multi-host
+    wire format is unit-testable without multiple processes."""
+    import pickle
+
+    import numpy as np
+
+    payload = np.frombuffer(pickle.dumps(local_results), np.uint8)
+    return payload, np.array([payload.size], np.int64)
+
+
+def _merge_gathered(gathered, sizes) -> list:
+    """Inverse of :func:`_pack_results` over stacked per-host buffers:
+    ``gathered`` (P, max_len) uint8 rows padded to the longest payload,
+    ``sizes`` (P, 1) true lengths. Preserves host order (the reference's
+    rank-ordered `collect_results_cpu`, `code/mmdet/apis/test.py:200`)."""
+    import pickle
+
+    out = []
+    for i in range(gathered.shape[0]):
+        out.extend(pickle.loads(gathered[i, : int(sizes[i, 0])].tobytes()))
+    return out
+
+
 def collect_results(local_results: list) -> list:
     """Gather per-host python result lists onto every host.
 
@@ -82,22 +107,16 @@ def collect_results(local_results: list) -> list:
     """
     if jax.process_count() == 1:
         return list(local_results)
-    import pickle
-
     import numpy as np
     from jax.experimental import multihost_utils
 
-    payload = np.frombuffer(pickle.dumps(local_results), np.uint8)
-    n = np.array([payload.size], np.int64)
+    payload, n = _pack_results(local_results)
     sizes = multihost_utils.process_allgather(n)
     max_len = int(sizes.max())
     padded = np.zeros(max_len, np.uint8)
     padded[: payload.size] = payload
     gathered = multihost_utils.process_allgather(padded)
-    out = []
-    for i in range(jax.process_count()):
-        out.extend(pickle.loads(gathered[i, : int(sizes[i, 0])].tobytes()))
-    return out
+    return _merge_gathered(gathered, sizes)
 
 
 def spatial_sharding(mesh: Mesh) -> NamedSharding:
@@ -109,12 +128,19 @@ def spatial_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PS("data", "model"))
 
 
-def run_spatially_sharded(fn, mesh: Mesh, images, *args):
+def run_spatially_sharded(fn, mesh: Mesh, images, *args,
+                          compile_only: bool = False):
     """jit ``fn`` with the batch sharded over 'data' AND the image height
-    sharded over 'model'. Returns outputs with compiler-chosen shardings."""
+    sharded over 'model'. Returns outputs with compiler-chosen shardings.
+
+    ``compile_only``: AOT-lower+compile under the mesh without executing
+    (GSPMD lowering validation on hosts where execution would trip the
+    XLA:CPU collective rendezvous timeout); returns the compiled object."""
     import jax
 
     sharded = jax.device_put(images, spatial_sharding(mesh))
+    if compile_only:
+        return jax.jit(fn).lower(sharded, *args).compile()
     return jax.jit(fn)(sharded, *args)
 
 

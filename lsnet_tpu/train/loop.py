@@ -330,6 +330,7 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
         ratio_range=data_cfg.train.get("ratio_range"),
         augmentations=tuple(data_cfg.train.get("augmentations", ()) or ()),
         keep_ratio=data_cfg.train.get("keep_ratio", True),
+        flip_ratio=data_cfg.train.get("flip_ratio", 0.5),
         max_instances=cfg.get("max_instances", 100)))
     n_dev = jax.device_count()
     per_dev = data_cfg.get("samples_per_gpu", 2)

@@ -131,3 +131,41 @@ def test_spatial_sharding_matches_single_device():
         for a, b in zip(ref[k], got[k]):
             np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                        rtol=1.5e-2, atol=5e-2)
+
+
+def test_collect_results_wire_format():
+    """Multi-host result gather wire format (pack -> pad -> stack -> merge)
+    round-trips typed, ragged per-host payloads in host order — the piece of
+    `collect_results` that runs under `process_allgather` on real multihost
+    (reference rank-ordered collect, `code/mmdet/apis/test.py:135-207`)."""
+    from lsnet_tpu.parallel.mesh import _merge_gathered, _pack_results
+
+    per_host = [
+        [{"bboxes": np.arange(8, dtype=np.float32).reshape(2, 4),
+          "labels": [1, 2]}],
+        [],                                         # a host with no images
+        [{"bboxes": np.zeros((0, 4), np.float32), "labels": []},
+         {"landmarks": np.ones((3, 17, 2), np.float32)}],
+    ]
+    packed = [_pack_results(r) for r in per_host]
+    sizes = np.stack([n for _, n in packed])        # (P, 1) int64
+    max_len = int(sizes.max())
+    gathered = np.zeros((len(packed), max_len), np.uint8)
+    for i, (payload, _) in enumerate(packed):
+        gathered[i, : payload.size] = payload
+
+    merged = _merge_gathered(gathered, sizes)
+    flat_expected = [x for host in per_host for x in host]
+    assert len(merged) == len(flat_expected)
+    np.testing.assert_array_equal(merged[0]["bboxes"],
+                                  flat_expected[0]["bboxes"])
+    assert merged[1]["labels"] == []
+    assert merged[2]["landmarks"].shape == (3, 17, 2)
+
+
+def test_collect_results_single_process_identity():
+    from lsnet_tpu.parallel.mesh import collect_results
+
+    data = [{"id": 0}, {"id": 1}]
+    out = collect_results(data)
+    assert out == data and out is not data

@@ -176,15 +176,31 @@ def main():
         test_cfg=dict(nms_pre=500, score_thr=0.05,
                       nms=dict(type="nms", iou_thr=0.6), max_per_img=50),
         data=dict(samples_per_gpu=args.batch,
+                  # pose: NO hflip — the synthetic shapes are left-right
+                  # symmetric in appearance, so flipping creates mirrored
+                  # keypoint GT on identical-looking objects; the model then
+                  # learns offset magnitudes with random signs (diagnosed
+                  # round 4: predictions matched |offset| but argmax side
+                  # flipped per slot). COCO persons disambiguate chirality
+                  # visually + flip_pairs; featureless shapes cannot.
                   train=dict(ann_file=train_ann, img_prefix=train_dir,
-                             img_scale=(IMG_W, IMG_H)),
+                             img_scale=(IMG_W, IMG_H),
+                             flip_ratio=0.0 if pose else 0.5),
                   val=dict(ann_file=val_ann, img_prefix=val_dir,
                            img_scale=(IMG_W, IMG_H))),
         optimizer=dict(lr=0.01, momentum=0.9, weight_decay=1e-4),
         optimizer_config=dict(grad_clip=dict(max_norm=35)),
+        # warmup must be scaled to the run: the reference's 500-iter warmup
+        # assumes thousands of iters/epoch; at ~20 iters/epoch the whole
+        # run would sit inside warmup (peak lr ~1e-3 instead of 1e-2 —
+        # diagnosed round 4 as the segm/pose underfit: loss plateaued with
+        # lr still climbing at the warmup slope).
         lr_config=dict(policy="step",
                        step=[int(args.epochs * 2 / 3),
-                             int(args.epochs * 11 / 12)]),
+                             int(args.epochs * 11 / 12)],
+                       warmup_iters=min(
+                           500, max(1, args.epochs * int(np.ceil(
+                               args.train / args.batch)) // 10))),
         evaluation=dict(interval=100),     # eval once at the end, below
         max_instances=8,
         log_interval=10,

@@ -25,6 +25,9 @@ def main():
     parser.add_argument("--batch", type=int, default=2)
     parser.add_argument("--hw", type=int, nargs=2, default=(800, 1344))
     parser.add_argument("--iters", type=int, default=5)
+    parser.add_argument("--chunk-budget-mb", type=int, default=None,
+                        help="patch-transient budget in Mi-elements "
+                        "(default: library auto-scaling by batch)")
     args = parser.parse_args()
 
     from lsnet_tpu.core.loss import LossConfig
@@ -38,6 +41,9 @@ def main():
     cfg = Config.fromfile(args.config)
     canvas = tuple(args.hw)
     B = args.batch
+    if args.chunk_budget_mb is not None:
+        from lsnet_tpu.ops.flat_deform import set_chunk_budget
+        set_chunk_budget(args.chunk_budget_mb * 1024 * 1024)
     model, _ = build_detector(cfg.model.to_dict())
     rng = np.random.RandomState(0)
     batch = {
