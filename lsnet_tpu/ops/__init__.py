@@ -13,3 +13,5 @@ from .focal_loss import (gaussian_focal_loss, sep_focal_loss,  # noqa: F401
 from .misc import carafe, chamfer_distance, masked_conv2d, nms_match  # noqa: F401
 from .nms import batched_nms, box_iou, nms, soft_nms  # noqa: F401
 from .roi import deform_roi_pool, roi_align, roi_pool  # noqa: F401
+from .optflow import (dequantize_flow, flow_warp, flowread,  # noqa: F401
+                      flowwrite, quantize_flow)
