@@ -280,6 +280,146 @@ def _chunked_tap_matmul(flat: Array, idx_cat: Array, w_cat: Array,
 PAIRED_X = [True]
 PAIRED_MAX_C = [512]
 
+# Quad-corner view: ALL FOUR bilinear corners of a sample as ONE 4C-wide
+# row from a corner-expanded per-level buffer (channel-concat of the
+# identity and the +x/+y/+xy shifts) — one gather descriptor per
+# (tap, sample) instead of the pair path's two, at twice the pair row
+# width. The XLA:TPU gather unit is descriptor-rate bound at these widths
+# (r4 rate matrix, docs/PERF.md), so fewer, wider rows win as long as the
+# 4-way channel slice in the combine still fuses into the consumer.
+# The backward becomes ONE scatter of 4C rows (plus dense fold) instead
+# of two 2C scatters — the train-step scatter wall at half the
+# descriptor count. Gated; A/B-measured before default-on.
+QUAD_X = [False]
+QUAD_MAX_C = [512]
+
+
+def _use_quad(C: int) -> bool:
+    return QUAD_X[0] and C <= QUAD_MAX_C[0]
+
+
+def _quad_view_levels(levels: FlatLevels) -> FlatLevels:
+    """Corner-expanded copy of the level buffer.
+
+    Per level (B, H, W, C) -> (B, H+1, W+1, 4C) where cell (y, x) of the
+    expanded grid (y, x in [-1..H-1] x [-1..W-1], stored at +1) holds
+    [src[y, x], src[y, x+1], src[y+1, x], src[y+1, x+1]] with zero padding
+    outside — the four bilinear corners of any sample whose floor corner
+    is (y, x). One extra 4x copy of the branch features; small next to the
+    gathered-patch traffic it accelerates."""
+    B, C = levels.B, levels.flat.shape[-1]
+    f3 = levels.flat.reshape(B, levels.total, C)
+    qfeats = []
+    for (H, W), off in zip(levels.shapes, levels.offsets):
+        lvl = f3[:, off:off + H * W].reshape(B, H, W, C)
+        p = jnp.pad(lvl, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        q = jnp.concatenate([p[:, :-1, :-1], p[:, :-1, 1:],
+                             p[:, 1:, :-1], p[:, 1:, 1:]], axis=-1)
+        qfeats.append(q)
+    return pack_levels(qfeats)
+
+
+def _corner_quad(ys: Array, xs: Array, H: int, W: int, base_row: Array):
+    """Quad-row index + 4 corner weights for samples in one level.
+
+    idx addresses the (H+1, W+1) corner-expanded grid at the sample's
+    floor corner (clipped; any clipped corner carries zero weight)."""
+    y0 = jnp.floor(ys)
+    x0 = jnp.floor(xs)
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+    wx0 = (1.0 - (xs - x0)) * ((x0i >= 0) & (x0i < W))
+    wx1 = (1.0 - jnp.abs(xs - x0 - 1.0)) * ((x0i + 1 >= 0) & (x0i + 1 < W))
+    wy0 = (1.0 - (ys - y0)) * ((y0i >= 0) & (y0i < H))
+    wy1 = (1.0 - jnp.abs(ys - y0 - 1.0)) * ((y0i + 1 >= 0) & (y0i + 1 < H))
+    idx = ((jnp.clip(y0i, -1, H - 1) + 1) * (W + 1)
+           + (jnp.clip(x0i, -1, W - 1) + 1) + base_row)
+    w4 = jnp.stack([wy0 * wx0, wy0 * wx1, wy1 * wx0, wy1 * wx1], axis=-1)
+    return idx, w4
+
+
+def _gather_indices_quad(levels: FlatLevels, qlevels: FlatLevels,
+                         jobs: Sequence["SampleJob"], K: int):
+    """Quad variant of :func:`_gather_indices`.
+
+    ``levels`` supplies the ORIGINAL (H, W) for coordinates/weights;
+    ``qlevels`` supplies the expanded buffer's offsets/strides.
+    Returns (idx_cat (rows,) int32, w_cat (rows, 4) f32, job_sizes)."""
+    B = levels.B
+    img_base = (jnp.arange(B, dtype=jnp.int32) * qlevels.total)[:, None]
+    all_idx: List[Array] = []
+    all_w: List[Array] = []
+    job_sizes: List[int] = []
+    for job in jobs:
+        H, W = levels.shapes[job.src_level]
+        ys, xs = _job_coords(job, K)                      # (B, P)
+        base_row = img_base + qlevels.offsets[job.src_level]
+        idx, w4 = _corner_quad(ys, xs, H, W, base_row)
+        if job.mask is not None:
+            m = job.mask.reshape(B, -1).astype(jnp.float32)
+            w4 = w4 * m[..., None]
+        job_sizes.append(ys.shape[1])
+        all_idx.append(idx)
+        all_w.append(w4)
+    idx_cat = jnp.concatenate([i.reshape(-1) for i in all_idx])
+    w_cat = jnp.concatenate([w.reshape(-1, 4) for w in all_w])
+    return idx_cat, w_cat, job_sizes
+
+
+def _quad_combine(quad_buf: Array, idx_cat: Array, w_cat: Array, C: int,
+                  split_at: Optional[int] = None):
+    """One quad-gather + weighted 4-corner fold -> (rows, C) sample values
+    (or two channel-half tensors with ``split_at``)."""
+    cdt = quad_buf.dtype
+    g = quad_buf[idx_cat]                                 # (rows, 4C)
+
+    if split_at is None:
+        vals = g[:, :C] * w_cat[:, 0, None].astype(cdt)
+        for q in range(1, 4):
+            vals = vals + (g[:, q * C:(q + 1) * C]
+                           * w_cat[:, q, None].astype(cdt))
+        return vals
+    outs = []
+    for lo, hi in ((0, split_at), (split_at, C)):
+        v = g[:, lo:hi] * w_cat[:, 0, None].astype(cdt)
+        for q in range(1, 4):
+            v = v + (g[:, q * C + lo:q * C + hi]
+                     * w_cat[:, q, None].astype(cdt))
+        outs.append(v)
+    return tuple(outs)
+
+
+def _chunked_quad_matmul(quad_buf: Array, idx_cat: Array, w_cat: Array,
+                         C: int, contracts, K: int,
+                         nchunks: int) -> List[Array]:
+    """Pixel-chunked variant of the quad gather (see
+    :func:`_chunked_gather_matmul` for the memory rationale)."""
+    total_px = idx_cat.shape[0] // K
+    idx_px = idx_cat.reshape(total_px, K)
+    w_px = w_cat.reshape(total_px, K, 4)
+    px_c = -(-total_px // nchunks)
+    pad = px_c * nchunks - total_px
+    if pad:
+        idx_px = jnp.pad(idx_px, ((0, pad), (0, 0)))
+        w_px = jnp.pad(w_px, ((0, pad), (0, 0), (0, 0)))
+    idx_ch = idx_px.reshape(nchunks, px_c * K)
+    w_ch = w_px.reshape(nchunks, px_c * K * 4)
+
+    # remat per chunk (see _chunked_tap_matmul)
+    @jax.checkpoint
+    def one(args):
+        ic, wc = args
+        vals = _quad_combine(quad_buf, ic, wc.reshape(-1, 4), C)
+        outs = []
+        for lo, hi, weight, groups in contracts:
+            outs.append(_contract_rows(
+                vals[:, lo:hi].reshape(px_c, K * (hi - lo)), weight, K,
+                groups))
+        return tuple(outs)
+
+    outs = jax.lax.map(one, (idx_ch, w_ch))
+    return [o.reshape(-1, o.shape[-1])[:total_px] for o in outs]
+
 
 def _use_paired(C: int) -> bool:
     return PAIRED_X[0] and C <= PAIRED_MAX_C[0]
@@ -614,6 +754,19 @@ def batched_deform_matmul(levels: FlatLevels, jobs: Sequence[SampleJob],
                 else:
                     out = _tap_gather_contract(flat, idx_cat, w_cat, wk)
                 return _split_jobs(out, jb, job_sizes, K, lv.B)
+        if _use_quad(C):
+            qlv = _quad_view_levels(lv)
+            idx_cat, w_cat, job_sizes = _gather_indices_quad(lv, qlv, jb, K)
+            if over:
+                nchunks = -(-rows * C // _CHUNK_BUDGET_ELEMS[0])
+                out = _chunked_quad_matmul(
+                    qlv.flat, idx_cat, w_cat, C, [(0, C, weight, groups)],
+                    K, int(nchunks))[0]
+            else:
+                vals = _quad_combine(qlv.flat, idx_cat, w_cat, C)
+                return _contract_and_split(vals, jb, job_sizes, weight, K,
+                                           lv.B, groups)
+            return _split_jobs(out, jb, job_sizes, K, lv.B)
         if _use_paired(C):
             pairs = _pair_view(flat)
             idx_cat, w_cat, job_sizes = _gather_indices_paired(lv, jb, K)
@@ -663,6 +816,25 @@ def dual_pyramid_dcn(feats_a: Sequence[Array], feats_b: Sequence[Array],
         rows = levels.B * sum(
             j.offset.shape[1] * j.offset.shape[2] * K for j in jb)
         over = rows * C > _CHUNK_BUDGET_ELEMS[0]
+        if _use_quad(C):
+            qlv = _quad_view_levels(levels)
+            idx_cat, w_cat, job_sizes = _gather_indices_quad(levels, qlv,
+                                                             jb, K)
+            contracts = [(0, Ca, weight_a, 1), (Ca, C, weight_b, 1)]
+            if over:
+                nchunks = -(-rows * C // _CHUNK_BUDGET_ELEMS[0])
+                out_a, out_b = _chunked_quad_matmul(
+                    qlv.flat, idx_cat, w_cat, C, contracts, K, int(nchunks))
+            else:
+                vals_a, vals_b = _quad_combine(qlv.flat, idx_cat, w_cat, C,
+                                               split_at=Ca)
+                outs_a = _contract_and_split(vals_a, jb, job_sizes,
+                                             weight_a, K, levels.B)
+                outs_b = _contract_and_split(vals_b, jb, job_sizes,
+                                             weight_b, K, levels.B)
+                return outs_a, outs_b
+            return (_split_jobs(out_a, jb, job_sizes, K, levels.B),
+                    _split_jobs(out_b, jb, job_sizes, K, levels.B))
         if _use_paired(C):
             pairs = _pair_view(levels.flat)
             idx_cat, w_cat, job_sizes = _gather_indices_paired(levels, jb, K)

@@ -335,6 +335,16 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
     n_dev = jax.device_count()
     per_dev = data_cfg.get("samples_per_gpu", 2)
     batch_size = per_dev * n_dev
+    # per-device batch >= 4 at the default 256M-element patch budget
+    # overflows HBM in the train backward (17.95G vs 15.75G measured at
+    # B4 @800x1344 R50-DCN — the compile "HTTP 500" was this OOM);
+    # 48M chunks fit and measured FASTER than 96M (1226 vs 1289 ms)
+    if per_dev >= 4 and cfg.get("chunk_budget_elems") is None:
+        from ..ops.flat_deform import set_chunk_budget
+        set_chunk_budget(48 * 1024 * 1024)
+    elif cfg.get("chunk_budget_elems") is not None:
+        from ..ops.flat_deform import set_chunk_budget
+        set_chunk_budget(int(cfg.get("chunk_budget_elems")))
     explicit_canvas = cfg.get("canvas_shape")
     loader = DataLoader(ds, batch_size,
                         tuple(explicit_canvas) if explicit_canvas else None,

@@ -304,3 +304,74 @@ def test_tap_major_matches_px_major():
         fd.PAIRED_X[0] = True
         fd.TAP_MAJOR[0] = True
         fd.set_chunk_budget(256 * 1024 * 1024)
+
+
+def test_quad_view_matches_paired_and_plain():
+    """Quad-corner VIEW gather (one 4C-wide row per tap from the
+    corner-expanded buffer) == paired == classic 4-gather, including
+    border samples pushed past every edge, masks, the dual double-width
+    path, chunking, and gradients."""
+    import numpy as np
+
+    from lsnet_tpu.ops import flat_deform as fd
+
+    rng = np.random.RandomState(2)
+    B, C, cout = 2, 8, 6
+    K = 9
+    feats = [jnp.asarray(rng.randn(B, 8, 8, C).astype(np.float32)),
+             jnp.asarray(rng.randn(B, 4, 4, C).astype(np.float32))]
+    offs = [jnp.asarray(3.0 * rng.randn(B, h, w, 2 * K).astype(np.float32))
+            for h, w in ((8, 8), (4, 4))]
+    masks = [jnp.asarray(rng.rand(B, h, w, K).astype(np.float32))
+             for h, w in ((8, 8), (4, 4))]
+    w1 = jnp.asarray(rng.randn(3, 3, C, cout).astype(np.float32))
+    w2 = jnp.asarray(rng.randn(3, 3, C, cout).astype(np.float32))
+    feats_b = [jnp.asarray(rng.randn(B, h, w, C).astype(np.float32))
+               for h, w in ((8, 8), (4, 4))]
+    jobs = [fd.SampleJob(i, offs[i], masks[i], (1.0, 1.0), (1, 1), (1, 1),
+                         (1, 1)) for i in range(2)]
+
+    def loss(w):
+        outs = fd.multilevel_modulated_dcn(feats, offs, masks, w)
+        return sum(jnp.sum(o ** 2) for o in outs)
+
+    def loss_feat(fs):
+        outs = fd.multilevel_modulated_dcn(fs, offs, masks, w1)
+        return sum(jnp.sum(o ** 2) for o in outs)
+
+    try:
+        fd.QUAD_X[0] = False
+        fd.PAIRED_X[0] = False
+        ref = fd.multilevel_modulated_dcn(feats, offs, masks, w1)
+        ra, rb = fd.dual_pyramid_dcn(feats, feats_b, jobs, w1, w2)
+        g_ref = jax.grad(loss)(w1)
+        gf_ref = jax.grad(loss_feat)(feats)
+
+        fd.QUAD_X[0] = True
+        got = fd.multilevel_modulated_dcn(feats, offs, masks, w1)
+        ga, gb = fd.dual_pyramid_dcn(feats, feats_b, jobs, w1, w2)
+        g_got = jax.grad(loss)(w1)
+        gf_got = jax.grad(loss_feat)(feats)
+        for r, g in zip(ref + ra + rb, got + ga + gb):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   rtol=2e-4, atol=2e-4)
+        for r, g in zip(gf_ref, gf_got):    # dInput: the quad-fold backward
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-4, atol=2e-4)
+
+        # quad + chunked (the train path)
+        fd.set_chunk_budget(1000)
+        got_c = fd.multilevel_modulated_dcn(feats, offs, masks, w1)
+        ga_c, gb_c = fd.dual_pyramid_dcn(feats, feats_b, jobs, w1, w2)
+        g_c = jax.grad(loss)(w1)
+        for r, g in zip(ref + ra + rb, got_c + ga_c + gb_c):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_ref),
+                                   rtol=2e-4, atol=2e-4)
+    finally:
+        fd.QUAD_X[0] = False
+        fd.PAIRED_X[0] = True
+        fd.set_chunk_budget(256 * 1024 * 1024)
