@@ -17,6 +17,7 @@ bilinear, reference CUDA parity) — the unit tests cross-check them.
 
 from __future__ import annotations
 
+import os
 from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
@@ -24,6 +25,16 @@ import jax.numpy as jnp
 import numpy as np
 
 Array = jax.Array
+
+# DCN sampling mode: "bilinear" (reference CUDA parity — 4 corner reads
+# per tap, tent weights) or "nearest" (ONE rounded read per tap — 4x less
+# gather traffic on the descriptor/byte-bound XLA:TPU gather unit that
+# dominates the e2e profile, docs/PERF.md round 4). Nearest is an
+# INFERENCE-ONLY approximation: rounding is piecewise-constant in the
+# predicted offsets, so offset branches get zero gradient under it.
+# Flag-gated default-off; the AP cost on the synthetic checkpoint is
+# measured in work/bench_nearest_delta.py before any default flip.
+SAMPLING = [os.environ.get("LSNET_DCN_SAMPLING", "bilinear")]
 
 
 class FlatLevels(NamedTuple):
@@ -55,7 +66,15 @@ def _corner_data(ys: Array, xs: Array, H: int, W: int, base_row: Array
     """4-corner flat indices + tent weights for samples in one level.
 
     ys/xs: (B, P) f32; base_row: (B, 1) int32 row offset of this level per
-    image. Returns lists of 4 ((B,P) idx, (B,P) w)."""
+    image. Returns lists of 4 ((B,P) idx, (B,P) w) — or lists of 1 under
+    nearest sampling (see ``SAMPLING``)."""
+    if SAMPLING[0] == "nearest":
+        yi = jnp.round(ys).astype(jnp.int32)
+        xi = jnp.round(xs).astype(jnp.int32)
+        v = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
+        idx = (jnp.clip(yi, 0, H - 1) * W
+               + jnp.clip(xi, 0, W - 1)) + base_row
+        return [idx], [v.astype(jnp.float32)]
     y0 = jnp.floor(ys)
     x0 = jnp.floor(xs)
     y0i = y0.astype(jnp.int32)
@@ -203,11 +222,12 @@ def _gather_indices_tap(levels: FlatLevels, jobs: Sequence[SampleJob],
             m = job.mask.transpose(0, 3, 1, 2).reshape(B, -1)
             ws = [w * m.astype(jnp.float32) for w in ws]
         hw = ys.shape[1] // K
+        nc = len(idxs)
         job_sizes.append(ys.shape[1])                     # samples (HW*K)
-        i4 = jnp.stack(idxs).reshape(4, B, K, hw).transpose(0, 2, 1, 3)
-        w4 = jnp.stack(ws).reshape(4, B, K, hw).transpose(0, 2, 1, 3)
-        all_idx.append(i4.reshape(4, K, -1))
-        all_w.append(w4.reshape(4, K, -1))
+        i4 = jnp.stack(idxs).reshape(nc, B, K, hw).transpose(0, 2, 1, 3)
+        w4 = jnp.stack(ws).reshape(nc, B, K, hw).transpose(0, 2, 1, 3)
+        all_idx.append(i4.reshape(nc, K, -1))
+        all_w.append(w4.reshape(nc, K, -1))
     idx_cat = jnp.concatenate(all_idx, axis=2)
     w_cat = jnp.concatenate(all_w, axis=2)
     return idx_cat, w_cat, job_sizes
@@ -227,12 +247,13 @@ def _tap_gather_contract(flat: Array, idx_cat: Array, w_cat: Array,
                          wk: Array) -> Array:
     """4-corner gather-accumulate + K-batched matmul + sum over K.
 
-    idx/w (4, K, px); wk (K, C, cout) -> (px, cout)."""
+    idx/w (nc, K, px); wk (K, C, cout) -> (px, cout)."""
     cdt = flat.dtype
-    i = idx_cat.reshape(4, -1)
-    w = w_cat.reshape(4, -1)
+    nc = idx_cat.shape[0]
+    i = idx_cat.reshape(nc, -1)
+    w = w_cat.reshape(nc, -1)
     vals = flat[i[0]] * w[0][:, None].astype(cdt)
-    for c in range(1, 4):
+    for c in range(1, nc):
         vals = vals + flat[i[c]] * w[c][:, None].astype(cdt)
     K, px = idx_cat.shape[1], idx_cat.shape[2]
     v = vals.reshape(K, px, -1)
@@ -245,16 +266,16 @@ def _chunked_tap_matmul(flat: Array, idx_cat: Array, w_cat: Array,
                         wk: Array, nchunks: int) -> Array:
     """Pixel-chunked tap-major gather+contract (lax.map) — bounds the
     patch transient exactly like :func:`_chunked_gather_matmul`."""
-    K, total_px = idx_cat.shape[1], idx_cat.shape[2]
+    nc, K, total_px = idx_cat.shape
     px_c = -(-total_px // nchunks)
     pad = px_c * nchunks - total_px
     if pad:
         idx_cat = jnp.pad(idx_cat, ((0, 0), (0, 0), (0, pad)))
         w_cat = jnp.pad(w_cat, ((0, 0), (0, 0), (0, pad)))
-    idx_ch = (idx_cat.reshape(4, K, nchunks, px_c).transpose(2, 0, 1, 3)
-              .reshape(nchunks, 4, K * px_c))
-    w_ch = (w_cat.reshape(4, K, nchunks, px_c).transpose(2, 0, 1, 3)
-            .reshape(nchunks, 4, K * px_c))
+    idx_ch = (idx_cat.reshape(nc, K, nchunks, px_c).transpose(2, 0, 1, 3)
+              .reshape(nchunks, nc, K * px_c))
+    w_ch = (w_cat.reshape(nc, K, nchunks, px_c).transpose(2, 0, 1, 3)
+            .reshape(nchunks, nc, K * px_c))
 
     # remat per chunk: lax.map's backward otherwise STACKS each chunk's
     # saved patch/gradient tensors into full-size (nchunks, ...) residual
@@ -263,8 +284,8 @@ def _chunked_tap_matmul(flat: Array, idx_cat: Array, w_cat: Array,
     @jax.checkpoint
     def one(args):
         ic, wc = args
-        return _tap_gather_contract(flat, ic.reshape(4, K, px_c),
-                                    wc.reshape(4, K, px_c), wk)
+        return _tap_gather_contract(flat, ic.reshape(nc, K, px_c),
+                                    wc.reshape(nc, K, px_c), wk)
 
     out = jax.lax.map(one, (idx_ch, w_ch))
     return out.reshape(-1, out.shape[-1])[:total_px]
@@ -295,7 +316,8 @@ QUAD_MAX_C = [512]
 
 
 def _use_quad(C: int) -> bool:
-    return QUAD_X[0] and C <= QUAD_MAX_C[0]
+    return (QUAD_X[0] and C <= QUAD_MAX_C[0]
+            and SAMPLING[0] == "bilinear")
 
 
 def _quad_view_levels(levels: FlatLevels) -> FlatLevels:
@@ -422,7 +444,8 @@ def _chunked_quad_matmul(quad_buf: Array, idx_cat: Array, w_cat: Array,
 
 
 def _use_paired(C: int) -> bool:
-    return PAIRED_X[0] and C <= PAIRED_MAX_C[0]
+    return (PAIRED_X[0] and C <= PAIRED_MAX_C[0]
+            and SAMPLING[0] == "bilinear")
 
 
 def _corner_pairs(ys: Array, xs: Array, H: int, W: int, base_row: Array):
@@ -539,8 +562,9 @@ def _gather_indices(levels: FlatLevels, jobs: Sequence[SampleJob], K: int):
         job_sizes.append(ys.shape[1])
         all_idx.append(jnp.stack(idxs))
         all_w.append(jnp.stack(ws))
-    idx_cat = jnp.concatenate([i.reshape(4, -1) for i in all_idx], axis=1)
-    w_cat = jnp.concatenate([w.reshape(4, -1) for w in all_w], axis=1)
+    nc = all_idx[0].shape[0]
+    idx_cat = jnp.concatenate([i.reshape(nc, -1) for i in all_idx], axis=1)
+    w_cat = jnp.concatenate([w.reshape(nc, -1) for w in all_w], axis=1)
     return idx_cat, w_cat, job_sizes
 
 
@@ -597,26 +621,26 @@ def _chunked_gather_matmul(flat: Array, idx_cat: Array, w_cat: Array,
     Returns per-contract (total_px, cout) arrays.
     """
     cdt = flat.dtype
-    rows = idx_cat.shape[1]
+    nc, rows = idx_cat.shape
     total_px = rows // K
     px_c = -(-total_px // nchunks)
     pad = px_c * nchunks - total_px
-    idx_px = idx_cat.reshape(4, total_px, K)
-    w_px = w_cat.reshape(4, total_px, K)
+    idx_px = idx_cat.reshape(nc, total_px, K)
+    w_px = w_cat.reshape(nc, total_px, K)
     if pad:
         idx_px = jnp.pad(idx_px, ((0, 0), (0, pad), (0, 0)))
         w_px = jnp.pad(w_px, ((0, 0), (0, pad), (0, 0)))
     # flattened chunk blocks + per-chunk remat: see _chunked_paired_matmul
-    idx_ch = (idx_px.reshape(4, nchunks, px_c, K).transpose(1, 0, 2, 3)
-              .reshape(nchunks, 4, px_c * K))
-    w_ch = (w_px.reshape(4, nchunks, px_c, K).transpose(1, 0, 2, 3)
-            .reshape(nchunks, 4, px_c * K))
+    idx_ch = (idx_px.reshape(nc, nchunks, px_c, K).transpose(1, 0, 2, 3)
+              .reshape(nchunks, nc, px_c * K))
+    w_ch = (w_px.reshape(nc, nchunks, px_c, K).transpose(1, 0, 2, 3)
+            .reshape(nchunks, nc, px_c * K))
 
     @jax.checkpoint
     def one(args):
-        ic, wc = args                                    # (4, px_c*K)
+        ic, wc = args                                    # (nc, px_c*K)
         g = flat[ic[0].reshape(-1)] * wc[0].reshape(-1)[:, None].astype(cdt)
-        for corner in range(1, 4):
+        for corner in range(1, nc):
             g = g + (flat[ic[corner].reshape(-1)]
                      * wc[corner].reshape(-1)[:, None].astype(cdt))
         outs = []
@@ -669,18 +693,19 @@ def _gather_weighted(levels: FlatLevels, jobs: Sequence[SampleJob], K: int,
             m = job.mask.reshape(B, -1).astype(jnp.float32)
             ws = [w * m for w in ws]
         job_sizes.append(ys.shape[1])
-        # corner-major within job: (4, B, P)
+        # corner-major within job: (nc, B, P)
         all_idx.append(jnp.stack(idxs))
         all_w.append(jnp.stack(ws))
 
-    idx_cat = jnp.concatenate([i.reshape(4, -1) for i in all_idx],
-                              axis=1)                     # (4, B*ΣP)
-    w_cat = jnp.concatenate([w.reshape(4, -1) for w in all_w], axis=1)
+    nc = all_idx[0].shape[0]
+    idx_cat = jnp.concatenate([i.reshape(nc, -1) for i in all_idx],
+                              axis=1)                     # (nc, B*ΣP)
+    w_cat = jnp.concatenate([w.reshape(nc, -1) for w in all_w], axis=1)
     # corner-by-corner accumulation: peak transient is 2x(rows, C) instead
     # of (4*rows, C) — 4x less HBM and one fewer full write+read pass
     if split_at is None:
         vals = levels.flat[idx_cat[0]] * w_cat[0, :, None].astype(cdt)
-        for corner in range(1, 4):
+        for corner in range(1, nc):
             vals = vals + (levels.flat[idx_cat[corner]]
                            * w_cat[corner, :, None].astype(cdt))
         return vals, job_sizes
@@ -688,7 +713,7 @@ def _gather_weighted(levels: FlatLevels, jobs: Sequence[SampleJob], K: int,
     w0 = w_cat[0, :, None].astype(cdt)
     vals_a = g0[:, :split_at] * w0
     vals_b = g0[:, split_at:] * w0
-    for corner in range(1, 4):
+    for corner in range(1, nc):
         g = levels.flat[idx_cat[corner]]
         w = w_cat[corner, :, None].astype(cdt)
         vals_a = vals_a + g[:, :split_at] * w

@@ -375,3 +375,110 @@ def test_quad_view_matches_paired_and_plain():
         fd.QUAD_X[0] = False
         fd.PAIRED_X[0] = True
         fd.set_chunk_budget(256 * 1024 * 1024)
+
+
+def test_nearest_sampling_mode():
+    """LSNET_DCN_SAMPLING=nearest (round-4 inference mode): ONE rounded
+    read per tap instead of 4 bilinear corner reads. Checks the flat
+    engine against a numpy nearest re-derivation, integral-position
+    equivalence with bilinear, the chunked/tap/dual paths, and that the
+    paired/quad fast paths are disabled under it."""
+    import numpy as np
+
+    from lsnet_tpu.ops import flat_deform as fd
+
+    def naive_nearest_dcn(x, offset, weight, mask=None):
+        H, W, Cin = x.shape
+        Ho, Wo, _ = offset.shape
+        kh, kw, _, Cout = weight.shape
+        out = np.zeros((Ho, Wo, Cout), np.float64)
+        for h in range(Ho):
+            for w_ in range(Wo):
+                acc = np.zeros(Cout, np.float64)
+                t = 0
+                for i in range(kh):
+                    for j in range(kw):
+                        y = h - 1 + i + offset[h, w_, 2 * t]
+                        xx = w_ - 1 + j + offset[h, w_, 2 * t + 1]
+                        # float32 round-half-even, matching jnp.round
+                        yi = int(np.round(np.float32(y)))
+                        xi = int(np.round(np.float32(xx)))
+                        if 0 <= yi < H and 0 <= xi < W:
+                            v = x[yi, xi].astype(np.float64)
+                            if mask is not None:
+                                v = v * mask[h, w_, t]
+                            acc += v @ weight[i, j]
+                        t += 1
+                out[h, w_] = acc
+        return out
+
+    rng = np.random.RandomState(3)
+    B, C, cout = 2, 8, 6
+    K = 9
+    feats = [jnp.asarray(rng.randn(B, 8, 8, C).astype(np.float32)),
+             jnp.asarray(rng.randn(B, 4, 4, C).astype(np.float32))]
+    offs = [jnp.asarray(3.0 * rng.randn(B, h, w, 2 * K).astype(np.float32))
+            for h, w in ((8, 8), (4, 4))]
+    masks = [jnp.asarray(rng.rand(B, h, w, K).astype(np.float32))
+             for h, w in ((8, 8), (4, 4))]
+    w1 = jnp.asarray(rng.randn(3, 3, C, cout).astype(np.float32))
+    w2 = jnp.asarray(rng.randn(3, 3, C, cout).astype(np.float32))
+    feats_b = [jnp.asarray(rng.randn(B, h, w, C).astype(np.float32))
+               for h, w in ((8, 8), (4, 4))]
+    jobs = [fd.SampleJob(i, offs[i], masks[i], (1.0, 1.0), (1, 1), (1, 1),
+                         (1, 1)) for i in range(2)]
+
+    try:
+        fd.SAMPLING[0] = "nearest"
+        assert not fd._use_paired(C) and not fd._use_quad(C)
+        got = fd.multilevel_modulated_dcn(feats, offs, masks, w1)
+        for lvl in range(2):
+            x = np.asarray(feats[lvl])
+            o = np.asarray(offs[lvl])
+            m = np.asarray(masks[lvl])
+            for b in range(B):
+                want = naive_nearest_dcn(x[b], o[b], np.asarray(w1), m[b])
+                np.testing.assert_allclose(np.asarray(got[lvl][b]), want,
+                                           rtol=1e-4, atol=1e-4)
+
+        # chunked == unchunked under nearest (tap path)
+        fd.set_chunk_budget(1000)
+        got_c = fd.multilevel_modulated_dcn(feats, offs, masks, w1)
+        for r, g in zip(got, got_c):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-5, atol=2e-5)
+        fd.set_chunk_budget(None)
+
+        # px-major (non-tap) path too
+        fd.TAP_MAJOR[0] = False
+        got_px = fd.multilevel_modulated_dcn(feats, offs, masks, w1)
+        for r, g in zip(got, got_px):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-5, atol=2e-5)
+        fd.TAP_MAJOR[0] = True
+
+        # dual-branch shared-offset path runs + matches per-branch naive
+        ga, gb = fd.dual_pyramid_dcn(feats, feats_b, jobs, w1, w2)
+        for lvl in range(2):
+            xb = np.asarray(feats_b[lvl])
+            o = np.asarray(offs[lvl])
+            m = np.asarray(masks[lvl])
+            for b in range(B):
+                want = naive_nearest_dcn(xb[b], o[b], np.asarray(w2), m[b])
+                np.testing.assert_allclose(np.asarray(gb[lvl][b]), want,
+                                           rtol=1e-4, atol=1e-4)
+
+        # integral sampling positions: nearest == bilinear exactly
+        offs_int = [jnp.round(o) for o in offs]
+        near = fd.multilevel_modulated_dcn(feats, offs_int, masks, w1)
+        fd.SAMPLING[0] = "bilinear"
+        fd.PAIRED_X[0] = False
+        bil = fd.multilevel_modulated_dcn(feats, offs_int, masks, w1)
+        for r, g in zip(bil, near):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-5, atol=2e-5)
+    finally:
+        fd.SAMPLING[0] = "bilinear"
+        fd.PAIRED_X[0] = True
+        fd.TAP_MAJOR[0] = True
+        fd.set_chunk_budget(256 * 1024 * 1024)
