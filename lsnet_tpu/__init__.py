@@ -9,6 +9,20 @@ __version__ = "0.1.0"
 
 import os as _os
 
+# LSNET_PLATFORM=cpu|tpu|axon: force the JAX backend. Needed because some
+# deployment images pin the platform via jax.config.update in
+# sitecustomize, which silently overrides the JAX_PLATFORMS env var — the
+# documented escape hatch is another config.update after import
+# (.claude/skills/verify/SKILL.md gotchas; tests/conftest.py does the
+# same for the virtual CPU mesh).
+_plat = _os.environ.get("LSNET_PLATFORM", "")
+if _plat:
+    try:
+        import jax as _jax
+        _jax.config.update("jax_platforms", _plat)
+    except Exception:
+        pass
+
 from .utils.config import Config, ConfigDict  # noqa: F401
 from .utils.registry import Registry, build_from_cfg  # noqa: F401
 

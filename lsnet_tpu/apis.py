@@ -75,6 +75,12 @@ def init_detector(config: Union[str, Config],
     from . import enable_compile_cache
     enable_compile_cache()
     cfg = Config.fromfile(config) if isinstance(config, str) else config
+    # inference-only DCN sampling override (cfg wins over the
+    # LSNET_DCN_SAMPLING env default) — see ops/flat_deform.SAMPLING
+    mode = cfg.get("test_cfg", {}).get("dcn_sampling")
+    if mode:
+        from .ops import flat_deform
+        flat_deform.SAMPLING[0] = str(mode)
     canvas = tuple(canvas or cfg.get("canvas_shape", (800, 1344)))
     model, _ = build_detector(cfg.model.to_dict())
     dummy = jnp.zeros((1, *canvas, 3), jnp.float32)

@@ -82,3 +82,17 @@ def test_bucket_canvas_orientation():
     assert bucket_canvas((1333, 800), 480, 640) == (800, 1344)
     assert bucket_canvas((1333, 800), 640, 480) == (1344, 800)
     assert bucket_canvas((3000, 1800), 500, 700) == (1824, 3008)
+
+
+def test_init_detector_dcn_sampling_cfg():
+    """cfg.test_cfg.dcn_sampling routes to the flat engine's SAMPLING
+    flag (inference-only nearest mode, docs/PERF.md round 4)."""
+    from lsnet_tpu.ops import flat_deform as fd
+
+    cfg = tiny_cfg()
+    cfg.test_cfg["dcn_sampling"] = "nearest"
+    try:
+        init_detector(cfg, canvas=(IMG, IMG))
+        assert fd.SAMPLING[0] == "nearest"
+    finally:
+        fd.SAMPLING[0] = "bilinear"
