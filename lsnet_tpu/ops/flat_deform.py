@@ -306,13 +306,22 @@ PAIRED_MAX_C = [512]
 # identity and the +x/+y/+xy shifts) — one gather descriptor per
 # (tap, sample) instead of the pair path's two, at twice the pair row
 # width. The XLA:TPU gather unit is descriptor-rate bound at these widths
-# (r4 rate matrix, docs/PERF.md), so fewer, wider rows win as long as the
-# 4-way channel slice in the combine still fuses into the consumer.
+# (r4 rate matrix, docs/PERF.md), so fewer, wider rows win.
+#
+# Round-4b combine: the first quad A/B lost because the combine SLICED the
+# 4C row four ways (one slice per corner), de-fusing the gather from the
+# matmul. The current combine never slices within a range: the gathered
+# (K, px, 4C) rows reshape (free, row-major) to (K, px, 4, C), multiply by
+# the per-sample corner weights (broadcast — fuses into the gather
+# consumer), reshape back, and contract against the conv weight STACKED
+# 4x along the contraction axis (K, 4C, cout) — the matmul itself sums
+# the corners. 4x the contraction FLOPs, but the DCN contractions are
+# ~0.1 ms/layer next to ~6.5 ms of gather (docs/PERF.md round 4).
 # The backward becomes ONE scatter of 4C rows (plus dense fold) instead
 # of two 2C scatters — the train-step scatter wall at half the
 # descriptor count. Gated; A/B-measured before default-on.
-QUAD_X = [False]
-QUAD_MAX_C = [512]
+QUAD_X = [os.environ.get("LSNET_DCN_QUAD", "0") == "1"]
+QUAD_MAX_C = [int(os.environ.get("LSNET_DCN_QUAD_MAXC", "512"))]
 
 
 def _use_quad(C: int) -> bool:
@@ -320,7 +329,9 @@ def _use_quad(C: int) -> bool:
             and SAMPLING[0] == "bilinear")
 
 
-def _quad_view_levels(levels: FlatLevels) -> FlatLevels:
+def _quad_view_levels(levels: FlatLevels,
+                      ranges: Optional[Sequence[Tuple[int, int]]] = None
+                      ) -> FlatLevels:
     """Corner-expanded copy of the level buffer.
 
     Per level (B, H, W, C) -> (B, H+1, W+1, 4C) where cell (y, x) of the
@@ -328,16 +339,25 @@ def _quad_view_levels(levels: FlatLevels) -> FlatLevels:
     [src[y, x], src[y, x+1], src[y+1, x], src[y+1, x+1]] with zero padding
     outside — the four bilinear corners of any sample whose floor corner
     is (y, x). One extra 4x copy of the branch features; small next to the
-    gathered-patch traffic it accelerates."""
+    gathered-patch traffic it accelerates.
+
+    ``ranges``: channel ranges [(c0, c1), ...] laid out RANGE-MAJOR in the
+    expanded row ([range0: 4 corners x Cr0, range1: ...]) so each
+    consumer's contraction slice is contiguous (dual/multi-branch paths).
+    """
     B, C = levels.B, levels.flat.shape[-1]
+    if ranges is None:
+        ranges = [(0, C)]
     f3 = levels.flat.reshape(B, levels.total, C)
     qfeats = []
     for (H, W), off in zip(levels.shapes, levels.offsets):
         lvl = f3[:, off:off + H * W].reshape(B, H, W, C)
         p = jnp.pad(lvl, ((0, 0), (1, 1), (1, 1), (0, 0)))
-        q = jnp.concatenate([p[:, :-1, :-1], p[:, :-1, 1:],
-                             p[:, 1:, :-1], p[:, 1:, 1:]], axis=-1)
-        qfeats.append(q)
+        parts = []
+        for c0, c1 in ranges:
+            parts += [p[:, :-1, :-1, c0:c1], p[:, :-1, 1:, c0:c1],
+                      p[:, 1:, :-1, c0:c1], p[:, 1:, 1:, c0:c1]]
+        qfeats.append(jnp.concatenate(parts, axis=-1))
     return pack_levels(qfeats)
 
 
@@ -360,13 +380,14 @@ def _corner_quad(ys: Array, xs: Array, H: int, W: int, base_row: Array):
     return idx, w4
 
 
-def _gather_indices_quad(levels: FlatLevels, qlevels: FlatLevels,
-                         jobs: Sequence["SampleJob"], K: int):
-    """Quad variant of :func:`_gather_indices`.
+def _gather_indices_quad_tap(levels: FlatLevels, qlevels: FlatLevels,
+                             jobs: Sequence["SampleJob"], K: int):
+    """Tap-major quad indices: (idx (K, totpx) int32, w (K, totpx, 4) f32,
+    job_sizes).
 
     ``levels`` supplies the ORIGINAL (H, W) for coordinates/weights;
-    ``qlevels`` supplies the expanded buffer's offsets/strides.
-    Returns (idx_cat (rows,) int32, w_cat (rows, 4) f32, job_sizes)."""
+    ``qlevels`` supplies the expanded buffer's offsets/strides. Pixel order
+    within the px axis is (job, b, y, x) — same as the base tap path."""
     B = levels.B
     img_base = (jnp.arange(B, dtype=jnp.int32) * qlevels.total)[:, None]
     all_idx: List[Array] = []
@@ -374,73 +395,115 @@ def _gather_indices_quad(levels: FlatLevels, qlevels: FlatLevels,
     job_sizes: List[int] = []
     for job in jobs:
         H, W = levels.shapes[job.src_level]
-        ys, xs = _job_coords(job, K)                      # (B, P)
+        ys, xs = _job_coords(job, K, tap_major=True)      # (B, K*HW)
         base_row = img_base + qlevels.offsets[job.src_level]
-        idx, w4 = _corner_quad(ys, xs, H, W, base_row)
+        idx, w4 = _corner_quad(ys, xs, H, W, base_row)    # (B,P), (B,P,4)
         if job.mask is not None:
-            m = job.mask.reshape(B, -1).astype(jnp.float32)
-            w4 = w4 * m[..., None]
+            m = job.mask.transpose(0, 3, 1, 2).reshape(B, -1)
+            w4 = w4 * m.astype(jnp.float32)[..., None]
+        hw = ys.shape[1] // K
         job_sizes.append(ys.shape[1])
-        all_idx.append(idx)
-        all_w.append(w4)
-    idx_cat = jnp.concatenate([i.reshape(-1) for i in all_idx])
-    w_cat = jnp.concatenate([w.reshape(-1, 4) for w in all_w])
+        i = idx.reshape(B, K, hw).transpose(1, 0, 2)
+        w = w4.reshape(B, K, hw, 4).transpose(1, 0, 2, 3)
+        all_idx.append(i.reshape(K, -1))
+        all_w.append(w.reshape(K, -1, 4))
+    idx_cat = jnp.concatenate(all_idx, axis=1)
+    w_cat = jnp.concatenate(all_w, axis=1)
     return idx_cat, w_cat, job_sizes
 
 
-def _quad_combine(quad_buf: Array, idx_cat: Array, w_cat: Array, C: int,
-                  split_at: Optional[int] = None):
-    """One quad-gather + weighted 4-corner fold -> (rows, C) sample values
-    (or two channel-half tensors with ``split_at``)."""
-    cdt = quad_buf.dtype
-    g = quad_buf[idx_cat]                                 # (rows, 4C)
+def _quad_tap_weight(weight: Array, K: int, groups: int, dtype) -> Array:
+    """(kh, kw, C/G, cout) -> (K, 4C, cout): the conv weight stacked 4x
+    along the contraction axis so the matmul itself sums the 4 corners of
+    the quad row (no slicing in the combine)."""
+    wk = _tap_weight(weight, K, groups, dtype)            # (K, C, cout)
+    return jnp.concatenate([wk] * 4, axis=1)
 
-    if split_at is None:
-        vals = g[:, :C] * w_cat[:, 0, None].astype(cdt)
-        for q in range(1, 4):
-            vals = vals + (g[:, q * C:(q + 1) * C]
-                           * w_cat[:, q, None].astype(cdt))
-        return vals
+
+def _tap_quad_contract(qflat: Array, idx_cat: Array, w_cat: Array,
+                       contracts_q) -> List[Array]:
+    """ONE quad gather + fused corner-weight scale + contraction.
+
+    idx (K, px); w (K, px, 4); contracts_q: list of (qoff, Cr, wmat, fold)
+    with qoff the range's channel offset in the quad row. fold=False:
+    wmat (K, 4*Cr, cout) from :func:`_quad_tap_weight` — the stacked-W dot
+    sums the corners inside the matmul (groups == 1; 4x the contraction
+    FLOPs, noise next to the gather). fold=True: wmat (K, Cr, cout)
+    (block-diagonal when grouped) and the corners are reduced before the
+    dot — grouped weights would otherwise pay 4x an already G x-padded
+    block-diagonal matmul. Returns per-contract (px, cout). The only
+    slices are per-RANGE (contiguous, one per consumer — same pattern as
+    the base multi-branch path); within a range the corner fold is
+    reshape (free) -> broadcast-multiply -> dot/reduce."""
+    cdt = qflat.dtype
+    K, px = idx_cat.shape
+    g = qflat[idx_cat.reshape(-1)].reshape(K, px, -1)     # (K, px, 4C_tot)
     outs = []
-    for lo, hi in ((0, split_at), (split_at, C)):
-        v = g[:, lo:hi] * w_cat[:, 0, None].astype(cdt)
-        for q in range(1, 4):
-            v = v + (g[:, q * C + lo:q * C + hi]
-                     * w_cat[:, q, None].astype(cdt))
-        outs.append(v)
-    return tuple(outs)
+    for qoff, Cr, wmat, fold in contracts_q:
+        v = g[..., qoff:qoff + 4 * Cr]   # full-width slice is a no-op
+        v = v.reshape(K, px, 4, Cr) * w_cat[..., None].astype(cdt)
+        v = v.sum(axis=2) if fold else v.reshape(K, px, 4 * Cr)
+        o = jax.lax.dot_general(
+            v, wmat, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        outs.append(o.sum(axis=0).astype(cdt))
+    return outs
 
 
-def _chunked_quad_matmul(quad_buf: Array, idx_cat: Array, w_cat: Array,
-                         C: int, contracts, K: int,
-                         nchunks: int) -> List[Array]:
-    """Pixel-chunked variant of the quad gather (see
+def _chunked_tap_quad_matmul(qflat: Array, idx_cat: Array, w_cat: Array,
+                             contracts_q, nchunks: int) -> List[Array]:
+    """Pixel-chunked variant of :func:`_tap_quad_contract` (see
     :func:`_chunked_gather_matmul` for the memory rationale)."""
-    total_px = idx_cat.shape[0] // K
-    idx_px = idx_cat.reshape(total_px, K)
-    w_px = w_cat.reshape(total_px, K, 4)
+    K, total_px = idx_cat.shape
     px_c = -(-total_px // nchunks)
     pad = px_c * nchunks - total_px
     if pad:
-        idx_px = jnp.pad(idx_px, ((0, pad), (0, 0)))
-        w_px = jnp.pad(w_px, ((0, pad), (0, 0), (0, 0)))
-    idx_ch = idx_px.reshape(nchunks, px_c * K)
-    w_ch = w_px.reshape(nchunks, px_c * K * 4)
+        idx_cat = jnp.pad(idx_cat, ((0, 0), (0, pad)))
+        w_cat = jnp.pad(w_cat, ((0, 0), (0, pad), (0, 0)))
+    idx_ch = (idx_cat.reshape(K, nchunks, px_c).transpose(1, 0, 2)
+              .reshape(nchunks, K * px_c))
+    w_ch = (w_cat.reshape(K, nchunks, px_c, 4).transpose(1, 0, 2, 3)
+            .reshape(nchunks, K * px_c * 4))
 
     # remat per chunk (see _chunked_tap_matmul)
     @jax.checkpoint
     def one(args):
         ic, wc = args
-        vals = _quad_combine(quad_buf, ic, wc.reshape(-1, 4), C)
-        outs = []
-        for lo, hi, weight, groups in contracts:
-            outs.append(_contract_rows(
-                vals[:, lo:hi].reshape(px_c, K * (hi - lo)), weight, K,
-                groups))
-        return tuple(outs)
+        return tuple(_tap_quad_contract(
+            qflat, ic.reshape(K, px_c), wc.reshape(K, px_c, 4),
+            contracts_q))
 
     outs = jax.lax.map(one, (idx_ch, w_ch))
     return [o.reshape(-1, o.shape[-1])[:total_px] for o in outs]
+
+
+def _run_quad(lv: FlatLevels, jb: Sequence["SampleJob"], K: int,
+              ranges, weights, groups_list) -> Tuple[List[Array], List[int]]:
+    """Full quad pipeline: expanded buffer -> tap-major quad gather ->
+    per-range stacked-W contraction. Returns (per-range (px, cout), sizes)."""
+    C = lv.flat.shape[-1]
+    qlv = _quad_view_levels(lv, ranges)
+    idx_cat, w_cat, job_sizes = _gather_indices_quad_tap(lv, qlv, jb, K)
+    contracts_q = []
+    qoff = 0
+    for (c0, c1), w, g in zip(ranges, weights, groups_list):
+        Cr = c1 - c0
+        if g == 1:
+            contracts_q.append((qoff, Cr,
+                                _quad_tap_weight(w, K, 1, lv.flat.dtype),
+                                False))
+        else:
+            contracts_q.append((qoff, Cr,
+                                _tap_weight(w, K, g, lv.flat.dtype), True))
+        qoff += 4 * Cr
+    rows = lv.B * sum(j.offset.shape[1] * j.offset.shape[2] * K for j in jb)
+    if rows * 4 * C > _CHUNK_BUDGET_ELEMS[0]:
+        nchunks = -(-rows * 4 * C // _CHUNK_BUDGET_ELEMS[0])
+        return (_chunked_tap_quad_matmul(qlv.flat, idx_cat, w_cat,
+                                         contracts_q, int(nchunks)),
+                job_sizes)
+    return _tap_quad_contract(qlv.flat, idx_cat, w_cat,
+                              contracts_q), job_sizes
 
 
 def _use_paired(C: int) -> bool:
@@ -766,6 +829,13 @@ def batched_deform_matmul(levels: FlatLevels, jobs: Sequence[SampleJob],
         rows = levels.B * sum(
             j.offset.shape[1] * j.offset.shape[2] * K for j in jobs)
         over = rows * C > _CHUNK_BUDGET_ELEMS[0]
+        if _use_quad(C):
+            from .pallas_grouped import ENABLED, supported
+            if not (groups > 1 and ENABLED[0]
+                    and supported(K, C, groups, weight.shape[-1])):
+                outs, job_sizes = _run_quad(lv, jb, K, [(0, C)], [weight],
+                                            [groups])
+                return _split_jobs(outs[0], jb, job_sizes, K, lv.B)
         if TAP_MAJOR[0] and not _use_paired(C):
             from .pallas_grouped import ENABLED, supported
             if not (groups > 1 and ENABLED[0]
@@ -779,19 +849,6 @@ def batched_deform_matmul(levels: FlatLevels, jobs: Sequence[SampleJob],
                 else:
                     out = _tap_gather_contract(flat, idx_cat, w_cat, wk)
                 return _split_jobs(out, jb, job_sizes, K, lv.B)
-        if _use_quad(C):
-            qlv = _quad_view_levels(lv)
-            idx_cat, w_cat, job_sizes = _gather_indices_quad(lv, qlv, jb, K)
-            if over:
-                nchunks = -(-rows * C // _CHUNK_BUDGET_ELEMS[0])
-                out = _chunked_quad_matmul(
-                    qlv.flat, idx_cat, w_cat, C, [(0, C, weight, groups)],
-                    K, int(nchunks))[0]
-            else:
-                vals = _quad_combine(qlv.flat, idx_cat, w_cat, C)
-                return _contract_and_split(vals, jb, job_sizes, weight, K,
-                                           lv.B, groups)
-            return _split_jobs(out, jb, job_sizes, K, lv.B)
         if _use_paired(C):
             pairs = _pair_view(flat)
             idx_cat, w_cat, job_sizes = _gather_indices_paired(lv, jb, K)
@@ -842,24 +899,10 @@ def dual_pyramid_dcn(feats_a: Sequence[Array], feats_b: Sequence[Array],
             j.offset.shape[1] * j.offset.shape[2] * K for j in jb)
         over = rows * C > _CHUNK_BUDGET_ELEMS[0]
         if _use_quad(C):
-            qlv = _quad_view_levels(levels)
-            idx_cat, w_cat, job_sizes = _gather_indices_quad(levels, qlv,
-                                                             jb, K)
-            contracts = [(0, Ca, weight_a, 1), (Ca, C, weight_b, 1)]
-            if over:
-                nchunks = -(-rows * C // _CHUNK_BUDGET_ELEMS[0])
-                out_a, out_b = _chunked_quad_matmul(
-                    qlv.flat, idx_cat, w_cat, C, contracts, K, int(nchunks))
-            else:
-                vals_a, vals_b = _quad_combine(qlv.flat, idx_cat, w_cat, C,
-                                               split_at=Ca)
-                outs_a = _contract_and_split(vals_a, jb, job_sizes,
-                                             weight_a, K, levels.B)
-                outs_b = _contract_and_split(vals_b, jb, job_sizes,
-                                             weight_b, K, levels.B)
-                return outs_a, outs_b
-            return (_split_jobs(out_a, jb, job_sizes, K, levels.B),
-                    _split_jobs(out_b, jb, job_sizes, K, levels.B))
+            outs, job_sizes = _run_quad(levels, jb, K, [(0, Ca), (Ca, C)],
+                                        [weight_a, weight_b], [1, 1])
+            return (_split_jobs(outs[0], jb, job_sizes, K, levels.B),
+                    _split_jobs(outs[1], jb, job_sizes, K, levels.B))
         if _use_paired(C):
             pairs = _pair_view(levels.flat)
             idx_cat, w_cat, job_sizes = _gather_indices_paired(levels, jb, K)
@@ -922,17 +965,35 @@ def multi_branch_modulated_dcn(branches, *, stride: int = 1,
     K = branches[0]["weight"].shape[0] * branches[0]["weight"].shape[1]
     n_lvl = len(branches[0]["feats"])
 
-    def run(feats_cat, offsets_all, masks_all, weights, biases):
+    def run(feats_all, offsets_all, masks_all, weights, biases):
+        jobs_of = lambda bi: [
+            SampleJob(i, offsets_all[bi][i], masks_all[bi][i], (1.0, 1.0),
+                      (stride, stride), (padding, padding),
+                      (dilation, dilation)) for i in range(n_lvl)]
+        if _use_quad(max(Cs)):
+            # Quad rows are WIDE (4C) — the gather is bandwidth-bound, not
+            # descriptor-bound, so the channel-concat trick below (every
+            # sample fetches all branches' channels though each branch
+            # samples its OWN positions) would waste n_br x bytes. Run
+            # per-branch quad gathers instead; only the dual path (shared
+            # positions -> genuinely shared descriptors) keeps concat.
+            outs = []
+            for bi in range(n_br):
+                lv = pack_levels(feats_all[bi])
+                jb = jobs_of(bi)
+                o, sz = _run_quad(lv, jb, K, [(0, Cs[bi])], [weights[bi]],
+                                  [1])
+                olist = _split_jobs(o[0], jb, sz, K, lv.B)
+                if biases[bi] is not None:
+                    olist = [x + biases[bi].astype(x.dtype) for x in olist]
+                outs.append(olist)
+            return outs
+        feats_cat = [jnp.concatenate([f[i] for f in feats_all], -1)
+                     for i in range(n_lvl)]
         levels = pack_levels(feats_cat)
-        jobs = []
-        for bi in range(n_br):
-            for i in range(n_lvl):
-                jobs.append(SampleJob(i, offsets_all[bi][i],
-                                      masks_all[bi][i], (1.0, 1.0),
-                                      (stride, stride), (padding, padding),
-                                      (dilation, dilation)))
-        vals, job_sizes = _gather_weighted(levels, jobs, K)
+        jobs = [j for bi in range(n_br) for j in jobs_of(bi)]
         B = levels.B
+        vals, job_sizes = _gather_weighted(levels, jobs, K)
         outs = []
         row = 0
         for bi in range(n_br):
@@ -947,13 +1008,12 @@ def multi_branch_modulated_dcn(branches, *, stride: int = 1,
             row += n_rows
         return outs
 
-    feats_cat = [jnp.concatenate([br["feats"][i] for br in branches], -1)
-                 for i in range(n_lvl)]
+    feats_all = [list(br["feats"]) for br in branches]
     offsets_all = [br["offsets"] for br in branches]
     masks_all = [br["masks"] for br in branches]
     weights = [br["weight"] for br in branches]
     biases = [br.get("bias") for br in branches]
-    return jax.checkpoint(run)(feats_cat, offsets_all, masks_all, weights,
+    return jax.checkpoint(run)(feats_all, offsets_all, masks_all, weights,
                                biases)
 
 

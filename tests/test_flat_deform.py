@@ -482,3 +482,82 @@ def test_nearest_sampling_mode():
         fd.PAIRED_X[0] = True
         fd.TAP_MAJOR[0] = True
         fd.set_chunk_budget(256 * 1024 * 1024)
+
+
+def test_quad_multi_branch_and_wide_rows():
+    """Round-4b fused quad combine: the multi-branch (tower) quad route
+    (one gather over all branches, per-branch px x channel range contract)
+    and QUAD_MAX_C raised past the concat width == the base path, with
+    gradients through weights and features."""
+    from lsnet_tpu.ops import flat_deform as fd
+
+    rng = np.random.RandomState(7)
+    B, cout = 2, 6
+    K = 9
+    shapes = ((8, 8), (4, 4))
+    Cs = [8, 12, 4]                     # unequal branch widths
+    branches = []
+    for Cb in Cs:
+        feats = [jnp.asarray(rng.randn(B, h, w, Cb).astype(np.float32))
+                 for h, w in shapes]
+        offs = [jnp.asarray(3.0 * rng.randn(B, h, w, 2 * K)
+                            .astype(np.float32)) for h, w in shapes]
+        masks = [jnp.asarray(rng.rand(B, h, w, K).astype(np.float32))
+                 for h, w in shapes]
+        w = jnp.asarray(rng.randn(3, 3, Cb, cout).astype(np.float32))
+        b = jnp.asarray(rng.randn(cout).astype(np.float32))
+        branches.append(dict(feats=feats, offsets=offs, masks=masks,
+                             weight=w, bias=b))
+
+    def loss(w0):
+        br = [dict(branches[0], weight=w0)] + branches[1:]
+        outs = fd.multi_branch_modulated_dcn(br)
+        return sum(jnp.sum(o ** 2) for olist in outs for o in olist)
+
+    def loss_feat(fs):
+        br = [dict(branches[0], feats=fs)] + branches[1:]
+        outs = fd.multi_branch_modulated_dcn(br)
+        return sum(jnp.sum(o ** 2) for olist in outs for o in olist)
+
+    try:
+        fd.QUAD_X[0] = False
+        ref = fd.multi_branch_modulated_dcn(branches)
+        g_ref = jax.grad(loss)(branches[0]["weight"])
+        gf_ref = jax.grad(loss_feat)(branches[0]["feats"])
+
+        fd.QUAD_X[0] = True
+        fd.QUAD_MAX_C[0] = 4096          # cover C_cat = 24 and beyond
+        got = fd.multi_branch_modulated_dcn(branches)
+        g_got = jax.grad(loss)(branches[0]["weight"])
+        gf_got = jax.grad(loss_feat)(branches[0]["feats"])
+        for rl, gl in zip(ref, got):
+            for r, g in zip(rl, gl):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                           rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                                   rtol=2e-4, atol=2e-4)
+        for r, g in zip(gf_ref, gf_got):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-4, atol=2e-4)
+
+        # grouped quad (corner-fold combine, X101 backbone route)
+        G = 4
+        feats = [jnp.asarray(rng.randn(B, h, w, 16).astype(np.float32))
+                 for h, w in shapes]
+        offs = [jnp.asarray(3.0 * rng.randn(B, h, w, 2 * K)
+                            .astype(np.float32)) for h, w in shapes]
+        masks = [jnp.asarray(rng.rand(B, h, w, K).astype(np.float32))
+                 for h, w in shapes]
+        w_grp = jnp.asarray(rng.randn(3, 3, 16 // G, 8).astype(np.float32))
+        fd.QUAD_X[0] = False
+        ref_g = fd.multilevel_modulated_dcn(feats, offs, masks, w_grp,
+                                            groups=G)
+        fd.QUAD_X[0] = True
+        got_gq = fd.multilevel_modulated_dcn(feats, offs, masks, w_grp,
+                                             groups=G)
+        for r, g in zip(ref_g, got_gq):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=2e-5, atol=2e-5)
+    finally:
+        fd.QUAD_X[0] = False
+        fd.QUAD_MAX_C[0] = 512
