@@ -437,6 +437,18 @@ def _tap_quad_contract(qflat: Array, idx_cat: Array, w_cat: Array,
     reshape (free) -> broadcast-multiply -> dot/reduce."""
     cdt = qflat.dtype
     K, px = idx_cat.shape
+    if len(contracts_q) == 1 and not contracts_q[0][3]:
+        # Single full-width stacked-W range: routable through the
+        # scalar-prefetch DMA-gather kernel (LSNET_PALLAS_DMA_GATHER=1,
+        # default off — see ops/pallas_dma_gather.py for the toolchain
+        # status) which keeps the gathered patch out of HBM entirely.
+        qoff, Cr, wmat, _ = contracts_q[0]
+        from . import pallas_dma_gather as _pdg
+        if (_pdg.ENABLED[0] and qoff == 0
+                and 4 * Cr == qflat.shape[-1]
+                and _pdg.supported(4 * Cr, wmat.shape[-1], cdt)):
+            o = _pdg.dma_quad_contract(qflat, idx_cat, w_cat, wmat)
+            return [o.astype(cdt)]
     g = qflat[idx_cat.reshape(-1)].reshape(K, px, -1)     # (K, px, 4C_tot)
     outs = []
     for qoff, Cr, wmat, fold in contracts_q:
