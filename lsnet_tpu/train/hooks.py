@@ -163,6 +163,109 @@ class TensorboardHook(Hook):
             self._fallback.close()
 
 
+@HOOKS.register_module()
+class WandbHook(Hook):
+    """Weights & Biases scalar logging (reference WandbLoggerHook,
+    `/root/reference/code/mmcv/mmcv/runner/hooks/logger/wandb.py`).
+
+    ``wandb`` is not baked into this image; when absent the hook degrades
+    to a jsonl scalars file in the same layout, so configs carrying the
+    hook stay runnable everywhere."""
+    priority = 92
+
+    def __init__(self, init_kwargs: Optional[Dict[str, Any]] = None,
+                 interval: int = 50, log_artifact: bool = False):
+        self.init_kwargs = init_kwargs or {}
+        self.interval = interval
+        self.log_artifact = log_artifact
+        self._run = None
+        self._fallback = None
+
+    def before_train(self, ctx):
+        try:
+            import wandb  # type: ignore
+            self._run = wandb.init(**self.init_kwargs)
+        except ImportError:
+            path = os.path.join(ctx.work_dir, "wandb_scalars.jsonl")
+            os.makedirs(ctx.work_dir, exist_ok=True)
+            self._fallback = open(path, "a")
+
+    def after_iter(self, ctx):
+        if ctx.global_step % self.interval:
+            return
+        scalars = dict(ctx.metrics, lr=ctx.lr, epoch=ctx.epoch + 1)
+        if self._run is not None:
+            self._run.log(scalars, step=ctx.global_step)
+        elif self._fallback is not None:
+            import json
+            self._fallback.write(json.dumps(
+                {"step": ctx.global_step, **scalars}) + "\n")
+            self._fallback.flush()
+
+    def after_train(self, ctx):
+        if self._run is not None:
+            if self.log_artifact:
+                import wandb  # type: ignore
+                art = wandb.Artifact("checkpoints", type="model")
+                ckpt_dir = os.path.join(ctx.work_dir, "ckpts")
+                if os.path.isdir(ckpt_dir):
+                    art.add_dir(ckpt_dir)
+                self._run.log_artifact(art)
+            self._run.finish()
+        if self._fallback is not None:
+            self._fallback.close()
+
+
+@HOOKS.register_module()
+class MlflowHook(Hook):
+    """MLflow metric logging (reference MlflowLoggerHook,
+    `/root/reference/code/mmcv/mmcv/runner/hooks/logger/mlflow.py`).
+    Same gated-import/jsonl-fallback contract as :class:`WandbHook`."""
+    priority = 93
+
+    def __init__(self, exp_name: Optional[str] = None,
+                 tags: Optional[Dict[str, Any]] = None, interval: int = 50):
+        self.exp_name = exp_name
+        self.tags = tags
+        self.interval = interval
+        self._mlflow = None
+        self._fallback = None
+
+    def before_train(self, ctx):
+        try:
+            import mlflow  # type: ignore
+            self._mlflow = mlflow
+            if self.exp_name:
+                mlflow.set_experiment(self.exp_name)
+            mlflow.start_run()
+            if self.tags:
+                mlflow.set_tags(self.tags)
+        except ImportError:
+            path = os.path.join(ctx.work_dir, "mlflow_scalars.jsonl")
+            os.makedirs(ctx.work_dir, exist_ok=True)
+            self._fallback = open(path, "a")
+
+    def after_iter(self, ctx):
+        if ctx.global_step % self.interval:
+            return
+        scalars = dict(ctx.metrics, lr=ctx.lr)
+        if self._mlflow is not None:
+            self._mlflow.log_metrics(
+                {k: float(v) for k, v in scalars.items()},
+                step=ctx.global_step)
+        elif self._fallback is not None:
+            import json
+            self._fallback.write(json.dumps(
+                {"step": ctx.global_step, **scalars}) + "\n")
+            self._fallback.flush()
+
+    def after_train(self, ctx):
+        if self._mlflow is not None:
+            self._mlflow.end_run()
+        if self._fallback is not None:
+            self._fallback.close()
+
+
 def build_hooks(cfg, logger, eval_interval: int) -> List[Hook]:
     """Default hook set + config-driven ``custom_hooks`` (reference
     ``register_training_hooks`` + custom_hooks)."""

@@ -84,3 +84,44 @@ def test_tensorboard_hook(tmp_path, monkeypatch):
     drive(TensorboardHook(log_dir=str(tmp_path / "tb2"), interval=1))
     scalars = (tmp_path / "tb2" / "scalars.jsonl").read_text().strip()
     assert '"loss": 2.5' in scalars
+
+
+def test_wandb_mlflow_hooks_fallback(tmp_path):
+    """W&B / MLflow hooks degrade to jsonl when the client libs are absent
+    (they are not baked into this image), and build from custom_hooks."""
+    import json
+
+    from lsnet_tpu.train.hooks import (MlflowHook, RunnerContext, WandbHook,
+                                       build_hooks)
+    from lsnet_tpu.utils.config import Config
+
+    class _Log:
+        def log_iter(self, *a):
+            pass
+
+        def log_eval(self, *a):
+            pass
+
+    cfg = Config(dict(custom_hooks=[
+        dict(type="WandbHook", interval=1),
+        dict(type="MlflowHook", interval=1, exp_name="lsnet"),
+    ]))
+    hooks = build_hooks(cfg, _Log(), eval_interval=1)
+    assert any(isinstance(h, WandbHook) for h in hooks)
+    assert any(isinstance(h, MlflowHook) for h in hooks)
+
+    ctx = RunnerContext(cfg, str(tmp_path), 10, 1)
+    for stage in ("before_train",):
+        for h in hooks:
+            getattr(h, stage)(ctx)
+    ctx.global_step = 2
+    ctx.metrics = {"loss": 1.25}
+    ctx.lr = 0.02
+    for h in hooks:
+        h.after_iter(ctx)
+        h.after_train(ctx)
+
+    for name, key in (("wandb_scalars.jsonl", "loss"),
+                      ("mlflow_scalars.jsonl", "lr")):
+        rec = json.loads((tmp_path / name).read_text().strip())
+        assert rec["step"] == 2 and rec[key] in (1.25, 0.02)
