@@ -71,7 +71,8 @@ def bucket_canvas(scale: Tuple[int, int], h: int, w: int,
 
 def init_detector(config: Union[str, Config],
                   checkpoint: Optional[str] = None,
-                  canvas: Optional[Tuple[int, int]] = None) -> DetectorBundle:
+                  canvas: Optional[Tuple[int, int]] = None,
+                  fuse_conv_bn: bool = False) -> DetectorBundle:
     from . import enable_compile_cache
     enable_compile_cache()
     cfg = Config.fromfile(config) if isinstance(config, str) else config
@@ -94,6 +95,11 @@ def init_detector(config: Union[str, Config],
                                    create_train_state(variables, tx))
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
+    if fuse_conv_bn:
+        # fold FrozenBN into conv kernels (reference benchmark.py
+        # --fuse-conv-bn); pytree structure is preserved, see train/fuse.py
+        from .train.fuse import fuse_conv_bn as _fuse
+        variables, _ = _fuse(variables)
     if cfg.model.type in ("FasterRCNN", "TwoStageDetector", "MaskRCNN",
                           "CascadeRCNN", "MaskScoringRCNN", "GridRCNN",
                           "HybridTaskCascade", "HTC", "PointRend"):

@@ -182,10 +182,19 @@ class WandbHook(Hook):
         self._fallback = None
 
     def before_train(self, ctx):
+        from lsnet_tpu.parallel.mesh import is_main_process
+        if not is_main_process():   # reference hooks are @master_only
+            return
         try:
             import wandb  # type: ignore
             self._run = wandb.init(**self.init_kwargs)
-        except ImportError:
+        except Exception as ex:  # absent lib OR runtime init failure
+            # (missing credentials, unreachable server) -> jsonl fallback
+            if not isinstance(ex, ImportError):
+                import logging
+                logging.getLogger(__name__).warning(
+                    "wandb.init failed (%s: %s); falling back to jsonl",
+                    type(ex).__name__, ex)
             path = os.path.join(ctx.work_dir, "wandb_scalars.jsonl")
             os.makedirs(ctx.work_dir, exist_ok=True)
             self._fallback = open(path, "a")
@@ -232,15 +241,24 @@ class MlflowHook(Hook):
         self._fallback = None
 
     def before_train(self, ctx):
+        from lsnet_tpu.parallel.mesh import is_main_process
+        if not is_main_process():   # reference hooks are @master_only
+            return
         try:
             import mlflow  # type: ignore
-            self._mlflow = mlflow
             if self.exp_name:
                 mlflow.set_experiment(self.exp_name)
             mlflow.start_run()
             if self.tags:
                 mlflow.set_tags(self.tags)
-        except ImportError:
+            self._mlflow = mlflow
+        except Exception as ex:  # absent lib OR runtime init failure
+            # (bad tracking URI, already-active run) -> jsonl fallback
+            if not isinstance(ex, ImportError):
+                import logging
+                logging.getLogger(__name__).warning(
+                    "mlflow start_run failed (%s: %s); falling back to "
+                    "jsonl", type(ex).__name__, ex)
             path = os.path.join(ctx.work_dir, "mlflow_scalars.jsonl")
             os.makedirs(ctx.work_dir, exist_ok=True)
             self._fallback = open(path, "a")

@@ -191,6 +191,28 @@ class Config:
     def copy(self) -> "Config":
         return Config(copy.deepcopy(dict(self._cfg_dict)), filename=self._filename)
 
+    # -- rendering ---------------------------------------------------------
+    @property
+    def pretty_text(self) -> str:
+        """Config rendered as runnable Python assignments (reference
+        ``mmcv.Config.pretty_text``, used by ``tools/print_config.py``)."""
+        def fmt(v, indent):
+            pad = " " * indent
+            if isinstance(v, dict):
+                if not v:
+                    return "dict()"
+                items = ",\n".join(
+                    f"{pad}    {k}={fmt(val, indent + 4)}"
+                    for k, val in v.items())
+                return f"dict(\n{items})"
+            if isinstance(v, (list, tuple)):
+                inner = ", ".join(fmt(x, indent) for x in v)
+                return f"[{inner}]" if isinstance(v, list) else f"({inner})"
+            return repr(v)
+
+        return "\n".join(f"{k} = {fmt(v, 0)}"
+                         for k, v in self._cfg_dict.items())
+
     # -- CLI overrides -----------------------------------------------------
     def merge_from_dict(self, options: Dict[str, Any]) -> None:
         """Deep-merge dotted-key CLI options, e.g. ``{'model.head.nv': 36}``."""
@@ -203,3 +225,27 @@ class Config:
             d[keys[-1]] = v
         merged = merge_dict(dict(self._cfg_dict), option_cfg)
         object.__setattr__(self, "_cfg_dict", _to_config_dict(ConfigDict(merged)))
+
+
+class DictAction(__import__("argparse").Action):
+    """argparse action for ``--cfg-options k=v k2.sub=v2`` style overrides
+    (reference ``mmcv.DictAction``): values are parsed as Python literals
+    when possible, with ``a,b,c`` becoming a tuple."""
+
+    @staticmethod
+    def _parse(val: str) -> Any:
+        import ast
+        if "," in val:
+            return tuple(DictAction._parse(v) for v in val.split(","))
+        try:
+            return ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            return {"true": True, "false": False,
+                    "none": None}.get(val.lower(), val)
+
+    def __call__(self, parser, namespace, values, option_string=None):
+        options = getattr(namespace, self.dest, None) or {}
+        for kv in values:
+            key, _, val = kv.partition("=")
+            options[key] = self._parse(val)
+        setattr(namespace, self.dest, options)

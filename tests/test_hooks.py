@@ -111,9 +111,8 @@ def test_wandb_mlflow_hooks_fallback(tmp_path):
     assert any(isinstance(h, MlflowHook) for h in hooks)
 
     ctx = RunnerContext(cfg, str(tmp_path), 10, 1)
-    for stage in ("before_train",):
-        for h in hooks:
-            getattr(h, stage)(ctx)
+    for h in hooks:
+        h.before_train(ctx)
     ctx.global_step = 2
     ctx.metrics = {"loss": 1.25}
     ctx.lr = 0.02
@@ -121,7 +120,10 @@ def test_wandb_mlflow_hooks_fallback(tmp_path):
         h.after_iter(ctx)
         h.after_train(ctx)
 
-    for name, key in (("wandb_scalars.jsonl", "loss"),
-                      ("mlflow_scalars.jsonl", "lr")):
-        rec = json.loads((tmp_path / name).read_text().strip())
-        assert rec["step"] == 2 and rec[key] in (1.25, 0.02)
+    wandb_rec = json.loads((tmp_path / "wandb_scalars.jsonl")
+                           .read_text().strip())
+    assert wandb_rec["step"] == 2
+    assert wandb_rec["loss"] == 1.25 and wandb_rec["epoch"] == 1
+    mlflow_rec = json.loads((tmp_path / "mlflow_scalars.jsonl")
+                            .read_text().strip())
+    assert mlflow_rec["step"] == 2 and mlflow_rec["lr"] == 0.02
