@@ -81,7 +81,7 @@ def init_detector(config: Union[str, Config],
     mode = cfg.get("test_cfg", {}).get("dcn_sampling")
     if mode:
         from .ops import flat_deform
-        flat_deform.SAMPLING[0] = str(mode)
+        flat_deform.set_sampling(str(mode))  # global or per-site spec
     canvas = tuple(canvas or cfg.get("canvas_shape", (800, 1344)))
     model, _ = build_detector(cfg.model.to_dict())
     dummy = jnp.zeros((1, *canvas, 3), jnp.float32)

@@ -97,7 +97,8 @@ class Bottleneck(nn.Module):
                                           padding=self.dilation,
                                           dilation=self.dilation,
                                           groups=self.groups,
-                                          use_bias=False, name="conv2")(out)
+                                          use_bias=False, site="backbone",
+                                          name="conv2")(out)
         elif self.use_sac:
             from ..layers import SAConv
             out = SAConv(width, 3, stride=self.stride,
@@ -156,7 +157,7 @@ class Res2Bottleneck(nn.Module):
                 sp = ModulatedDeformConvPack(width, 3, stride=self.stride,
                                              padding=self.dilation,
                                              dilation=self.dilation,
-                                             use_bias=False,
+                                             use_bias=False, site="backbone",
                                              name=f"conv2_{i}")(inp)
             else:
                 sp = _conv(width, 3, self.stride, self.dilation,

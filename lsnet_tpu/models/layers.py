@@ -131,6 +131,7 @@ class ModulatedDeformConvPack(nn.Module):
     dilation: int = 1
     groups: int = 1              # grouped DCN (reference ResNeXt-DCN conv2)
     use_bias: bool = True
+    site: str = "tower"          # hybrid sampling-policy tag (flat_deform)
 
     @nn.compact
     def __call__(self, x):
@@ -163,7 +164,7 @@ class ModulatedDeformConvPack(nn.Module):
             xs, offsets, masks, weight.astype(xs[0].dtype),
             None if bias is None else bias.astype(xs[0].dtype),
             stride=self.stride, padding=self.padding,
-            dilation=self.dilation, groups=self.groups)
+            dilation=self.dilation, groups=self.groups, site=self.site)
         return outs if multi else outs[0]
 
 

@@ -32,9 +32,101 @@ Array = jax.Array
 # dominates the e2e profile, docs/PERF.md round 4). Nearest is an
 # INFERENCE-ONLY approximation: rounding is piecewise-constant in the
 # predicted offsets, so offset branches get zero gradient under it.
-# Flag-gated default-off; the AP cost on the synthetic checkpoint is
-# measured in work/bench_nearest_delta.py before any default flip.
-SAMPLING = [os.environ.get("LSNET_DCN_SAMPLING", "bilinear")]
+# Flag-gated default-off; measured AP deltas before any default flip.
+#
+# Round 5 — HYBRID site policy: the global nearest switch costs -0.8 AP
+# (over the 0.3 budget), but the sampling sites pay very different AP
+# prices for the same traffic saving. The spec therefore also accepts a
+# per-site form: "backbone=nearest", "backbone=nearest,tower=nearest", ...
+# Sites: "backbone" (ResNeXt/ResNet DCN stages), "tower" (head stacked DCN
+# convs), "refine" (pyramid refine + paired refine/cls gathers).
+# Unlisted sites keep the default (bilinear).
+
+
+def _parse_sampling(spec: Optional[str]) -> Tuple[str, dict]:
+    spec = (spec or "bilinear").strip()
+    if "=" not in spec:
+        return spec, {}
+    policy = {}
+    for part in spec.split(","):
+        site, _, mode = part.partition("=")
+        policy[site.strip()] = mode.strip() or "nearest"
+    return "bilinear", policy
+
+
+_d, _p = _parse_sampling(os.environ.get("LSNET_DCN_SAMPLING"))
+SAMPLING = [_d]
+SAMPLING_POLICY = dict(_p)
+
+
+def set_sampling(spec: Optional[str]) -> None:
+    """Set the sampling mode/policy from a spec string (see above)."""
+    default, policy = _parse_sampling(spec)
+    SAMPLING[0] = default
+    SAMPLING_POLICY.clear()
+    SAMPLING_POLICY.update(policy)
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _site_sampling(site: Optional[str]):
+    """Scope the effective SAMPLING mode to a call site during tracing."""
+    prev = SAMPLING[0]
+    if site is not None:
+        SAMPLING[0] = SAMPLING_POLICY.get(site, prev)
+    try:
+        yield
+    finally:
+        SAMPLING[0] = prev
+
+
+# Tap reduction for the REFINE site (VERDICT r4 #3b): the pyramid-refine
+# gather re-samples 3 source levels per output with a 3x3 tap grid; a
+# plus-shaped 5-tap subset (center + 4 edge-centers) carries most of the
+# kernel's support at 5/9 of the gather traffic on the binding resource.
+# Approximation — AP measured on the synthetic checkpoint before any
+# default change. Env: LSNET_REFINE_TAPS=5 | "i,j,..." (row-major 3x3
+# indices). Applies to site="refine" jobs with K==9 only.
+_PLUS_TAPS = (1, 3, 4, 5, 7)
+
+
+def _refine_taps() -> Optional[Tuple[int, ...]]:
+    spec = os.environ.get("LSNET_REFINE_TAPS", "")
+    if not spec or spec == "9":
+        return None
+    if spec == "5":
+        return _PLUS_TAPS
+    return tuple(int(t) for t in spec.split(","))
+
+
+def _apply_refine_taps(jobs, weights, K: int):
+    """Slice jobs+weights to the LSNET_REFINE_TAPS subset (refine site).
+
+    Returns (jobs', weights', K'). Offsets/masks are sliced per tap; the
+    conv weight reshapes to a (1, T, C, cout) 'kernel' whose flat-K views
+    downstream match the reduced tap count. No-op unless the env knob is
+    set and the kernel is the 3x3 it was calibrated for."""
+    sel = _refine_taps()
+    if sel is None or K != 9:
+        return jobs, weights, K
+    kh = kw = int(np.sqrt(K))
+    sel_ix = np.asarray(sel, np.int32)
+    T = len(sel)
+    new_jobs = []
+    for j in jobs:
+        B, Ho, Wo, _ = j.offset.shape
+        off = j.offset.reshape(B, Ho, Wo, K, 2)[:, :, :, sel_ix, :]
+        m = None if j.mask is None else j.mask[..., sel_ix]
+        new_jobs.append(j._replace(offset=off.reshape(B, Ho, Wo, 2 * T),
+                                   mask=m, taps=(kh, kw, tuple(sel))))
+    new_weights = []
+    for w in weights:
+        cin, cout = w.shape[2], w.shape[3]
+        new_weights.append(
+            w.reshape(K, cin, cout)[sel_ix].reshape(1, T, cin, cout))
+    return new_jobs, new_weights, T
 
 
 class FlatLevels(NamedTuple):
@@ -163,6 +255,10 @@ class SampleJob(NamedTuple):
     stride: Tuple[int, int]
     padding: Tuple[int, int]
     dilation: Tuple[int, int]
+    # optional tap subset: (kh, kw, row-major indices kept). When set the
+    # offset/mask fields are already sliced to len(indices) taps and the
+    # base tap displacements come from the FULL (kh, kw) grid.
+    taps: Optional[Tuple[int, int, Tuple[int, ...]]] = None
 
 
 def _job_coords(job: SampleJob, K: int, tap_major: bool = False
@@ -174,7 +270,11 @@ def _job_coords(job: SampleJob, K: int, tap_major: bool = False
     a K-batched matmul — measured 1.16x over the (px, K*C) interleave at
     X101 stage3 (docs/PERF.md round 4)."""
     B, Ho, Wo, _ = job.offset.shape
-    kh = kw = int(np.sqrt(K))
+    if job.taps is not None:
+        kh, kw, sel = job.taps
+    else:
+        kh = kw = int(np.sqrt(K))
+        sel = None
     f32 = jnp.float32
     off = job.offset.reshape(B, Ho, Wo, K, 2).astype(f32)
     hs = (jnp.arange(Ho, dtype=f32) * job.stride[0]
@@ -183,6 +283,10 @@ def _job_coords(job: SampleJob, K: int, tap_major: bool = False
           - job.padding[1])[None, None, :, None]
     dyy = jnp.repeat(jnp.arange(kh, dtype=f32) * job.dilation[0], kw)
     dxx = jnp.tile(jnp.arange(kw, dtype=f32) * job.dilation[1], kh)
+    if sel is not None:
+        sel_ix = np.asarray(sel, np.int32)
+        dyy = dyy[sel_ix]
+        dxx = dxx[sel_ix]
     base_y = (hs + dyy[None, None, None, :]) * job.scale[0]
     base_x = (ws + dxx[None, None, None, :]) * job.scale[1]
     ys = base_y + off[..., 0]
@@ -822,17 +926,25 @@ def _contract_and_split(vals: Array, jobs: Sequence[SampleJob],
 
 def batched_deform_matmul(levels: FlatLevels, jobs: Sequence[SampleJob],
                           weight: Array, K: int,
-                          groups: int = 1) -> List[Array]:
+                          groups: int = 1,
+                          site: Optional[str] = None) -> List[Array]:
     """Run all jobs through one gather + one matmul.
 
     weight: (kh, kw, C, Cout) shared conv kernel.
     Returns per-job (B, Ho, Wo, Cout) outputs.
+
+    ``site`` tags the call for the hybrid sampling policy ("backbone" /
+    "tower" / "refine", see ``SAMPLING_POLICY``); refine-site calls also
+    honor the LSNET_REFINE_TAPS reduction.
 
     The whole pipeline is rematerialized under autodiff: the (rows, C)
     gathered-patch tensor (hundreds of MB per call) is recomputed in the
     backward pass instead of being stored — without this, training a full
     LSNet at 800x1344 overflows HBM by ~9 GB.
     """
+    if site == "refine" and groups == 1:
+        jobs, (weight,), K = _apply_refine_taps(jobs, [weight], K)
+
     def run(flat, jobs_off, weight):
         lv = levels._replace(flat=flat)
         jb = [j._replace(offset=o, mask=m)
@@ -886,12 +998,14 @@ def batched_deform_matmul(levels: FlatLevels, jobs: Sequence[SampleJob],
                                    groups)
 
     jobs_off = [(j.offset, j.mask) for j in jobs]
-    return jax.checkpoint(run)(levels.flat, jobs_off, weight)
+    with _site_sampling(site):
+        return jax.checkpoint(run)(levels.flat, jobs_off, weight)
 
 
 def dual_pyramid_dcn(feats_a: Sequence[Array], feats_b: Sequence[Array],
                      jobs: Sequence[SampleJob], weight_a: Array,
-                     weight_b: Array) -> Tuple[List[Array], List[Array]]:
+                     weight_b: Array, site: Optional[str] = "refine"
+                     ) -> Tuple[List[Array], List[Array]]:
     """Two branches sampled at IDENTICAL positions (e.g. the refine and cls
     branches share one offset field, `lsnet_head.py:635-638`): concatenate
     channels, gather ONCE with double-width rows (2.6x faster per byte on
@@ -899,6 +1013,9 @@ def dual_pyramid_dcn(feats_a: Sequence[Array], feats_b: Sequence[Array],
     Rematerialized under autodiff (see :func:`batched_deform_matmul`)."""
     Ca = feats_a[0].shape[-1]
     K = weight_a.shape[0] * weight_a.shape[1]
+    if site == "refine":
+        jobs, (weight_a, weight_b), K = _apply_refine_taps(
+            jobs, [weight_a, weight_b], K)
 
     def run(feats_a, feats_b, jobs_off, weight_a, weight_b):
         cat = [jnp.concatenate([a, b], axis=-1)
@@ -954,12 +1071,14 @@ def dual_pyramid_dcn(feats_a: Sequence[Array], feats_b: Sequence[Array],
         return outs_a, outs_b
 
     jobs_off = [(j.offset, j.mask) for j in jobs]
-    return jax.checkpoint(run)(list(feats_a), list(feats_b), jobs_off,
-                               weight_a, weight_b)
+    with _site_sampling(site):
+        return jax.checkpoint(run)(list(feats_a), list(feats_b), jobs_off,
+                                   weight_a, weight_b)
 
 
 def multi_branch_modulated_dcn(branches, *, stride: int = 1,
-                               padding: int = 1, dilation: int = 1):
+                               padding: int = 1, dilation: int = 1,
+                               site: Optional[str] = "tower"):
     """N independent DCNv2 branches (own features/offsets/masks/weights)
     fused into ONE gather.
 
@@ -1025,8 +1144,9 @@ def multi_branch_modulated_dcn(branches, *, stride: int = 1,
     masks_all = [br["masks"] for br in branches]
     weights = [br["weight"] for br in branches]
     biases = [br.get("bias") for br in branches]
-    return jax.checkpoint(run)(feats_all, offsets_all, masks_all, weights,
-                               biases)
+    with _site_sampling(site):
+        return jax.checkpoint(run)(feats_all, offsets_all, masks_all,
+                                   weights, biases)
 
 
 def multilevel_modulated_dcn(feats: Sequence[Array],
@@ -1034,27 +1154,27 @@ def multilevel_modulated_dcn(feats: Sequence[Array],
                              masks: Sequence[Array], weight: Array,
                              bias: Optional[Array] = None, *,
                              stride: int = 1, padding: int = 1,
-                             dilation: int = 1,
-                             groups: int = 1) -> List[Array]:
+                             dilation: int = 1, groups: int = 1,
+                             site: Optional[str] = "tower") -> List[Array]:
     """DCNv2 applied to every FPN level with shared weights — one gather,
-    one matmul (used by the head towers)."""
+    one matmul (used by the head towers and the backbone DCN stages)."""
     K = weight.shape[0] * weight.shape[1]
     levels = pack_levels(feats)
     jobs = [SampleJob(i, offsets[i], masks[i], (1.0, 1.0),
                       (stride, stride), (padding, padding),
                       (dilation, dilation))
             for i in range(len(feats))]
-    outs = batched_deform_matmul(levels, jobs, weight, K, groups)
+    outs = batched_deform_matmul(levels, jobs, weight, K, groups, site=site)
     if bias is not None:
         outs = [o + bias.astype(o.dtype) for o in outs]
     return outs
 
 
 def multilevel_pyramid_dcn(feats: Sequence[Array],
-                           jobs: Sequence[SampleJob], weight: Array
-                           ) -> List[Array]:
+                           jobs: Sequence[SampleJob], weight: Array,
+                           site: Optional[str] = "refine") -> List[Array]:
     """PyramidDeformConv for a whole branch (all output levels x all source
     levels) — one gather, one matmul."""
     K = weight.shape[0] * weight.shape[1]
     levels = pack_levels(feats)
-    return batched_deform_matmul(levels, jobs, weight, K)
+    return batched_deform_matmul(levels, jobs, weight, K, site=site)

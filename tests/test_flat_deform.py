@@ -561,3 +561,126 @@ def test_quad_multi_branch_and_wide_rows():
     finally:
         fd.QUAD_X[0] = False
         fd.QUAD_MAX_C[0] = 512
+
+
+def test_hybrid_sampling_policy():
+    """Per-site sampling spec (round 5): 'backbone=nearest' must flip ONLY
+    backbone-site calls to nearest while tower/refine sites stay bilinear,
+    and the spec parser must round-trip global and per-site forms."""
+    import numpy as np
+
+    from lsnet_tpu.ops import flat_deform as fd
+
+    rng = np.random.RandomState(7)
+    B, C, cout, K = 2, 8, 6, 9
+    feats = [jnp.asarray(rng.randn(B, 8, 8, C).astype(np.float32))]
+    offs = [jnp.asarray(2.5 * rng.randn(B, 8, 8, 2 * K).astype(np.float32))]
+    masks = [jnp.asarray(rng.rand(B, 8, 8, K).astype(np.float32))]
+    w = jnp.asarray(rng.randn(3, 3, C, cout).astype(np.float32))
+
+    try:
+        fd.set_sampling("bilinear")
+        bil = fd.multilevel_modulated_dcn(feats, offs, masks, w,
+                                          site="tower")
+        fd.set_sampling("nearest")
+        near = fd.multilevel_modulated_dcn(feats, offs, masks, w,
+                                           site="tower")
+        # sanity: the two modes genuinely differ on fractional offsets
+        assert not np.allclose(np.asarray(bil[0]), np.asarray(near[0]),
+                               atol=1e-3)
+
+        fd.set_sampling("backbone=nearest")
+        assert fd.SAMPLING[0] == "bilinear"
+        assert fd.SAMPLING_POLICY == {"backbone": "nearest"}
+        got_tower = fd.multilevel_modulated_dcn(feats, offs, masks, w,
+                                                site="tower")
+        got_backbone = fd.multilevel_modulated_dcn(feats, offs, masks, w,
+                                                   site="backbone")
+        np.testing.assert_allclose(np.asarray(got_tower[0]),
+                                   np.asarray(bil[0]), rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(got_backbone[0]),
+                                   np.asarray(near[0]), rtol=2e-5,
+                                   atol=2e-5)
+        # effective mode is restored after a site-scoped call
+        assert fd.SAMPLING[0] == "bilinear"
+
+        # multi-site spec parses
+        fd.set_sampling("backbone=nearest,refine=nearest")
+        assert fd.SAMPLING_POLICY == {"backbone": "nearest",
+                                      "refine": "nearest"}
+    finally:
+        fd.set_sampling("bilinear")
+
+
+def test_refine_tap_reduction(monkeypatch):
+    """LSNET_REFINE_TAPS=5 (round 5): refine-site pyramid gathers keep the
+    plus-shaped tap subset. Oracle: the full-K pipeline with the dropped
+    taps' kernel rows zeroed computes the identical function."""
+    import numpy as np
+
+    from lsnet_tpu.ops import flat_deform as fd
+
+    rng = np.random.RandomState(11)
+    B, C, ca, cb, K = 2, 8, 6, 5, 9
+    feats = [jnp.asarray(rng.randn(B, 8, 8, C).astype(np.float32)),
+             jnp.asarray(rng.randn(B, 4, 4, C).astype(np.float32))]
+    feats_b = [jnp.asarray(rng.randn(B, h, w, C).astype(np.float32))
+               for h, w in ((8, 8), (4, 4))]
+    offs = [jnp.asarray(2.0 * rng.randn(B, h, w, 2 * K).astype(np.float32))
+            for h, w in ((8, 8), (4, 4))]
+    masks = [jnp.asarray(rng.rand(B, h, w, K).astype(np.float32))
+             for h, w in ((8, 8), (4, 4))]
+    jobs = [fd.SampleJob(i, offs[i], masks[i], (1.0, 1.0), (1, 1), (1, 1),
+                         (1, 1)) for i in range(2)]
+    wa = jnp.asarray(rng.randn(3, 3, C, ca).astype(np.float32))
+    wb = jnp.asarray(rng.randn(3, 3, C, cb).astype(np.float32))
+
+    def zeroed(w):
+        wz = np.asarray(w).reshape(K, C, -1).copy()
+        for t in range(K):
+            if t not in fd._PLUS_TAPS:
+                wz[t] = 0.0
+        return jnp.asarray(wz.reshape(3, 3, C, -1))
+
+    # oracle at full K (no reduction)
+    monkeypatch.delenv("LSNET_REFINE_TAPS", raising=False)
+    want = fd.multilevel_pyramid_dcn(feats, jobs, zeroed(wa))
+    want_a2, want_b2 = fd.dual_pyramid_dcn(feats, feats_b, jobs,
+                                           zeroed(wa), zeroed(wb))
+
+    monkeypatch.setenv("LSNET_REFINE_TAPS", "5")
+    got = fd.multilevel_pyramid_dcn(feats, jobs, wa)
+    for lvl in range(2):
+        np.testing.assert_allclose(np.asarray(got[lvl]),
+                                   np.asarray(want[lvl]),
+                                   rtol=1e-4, atol=1e-4)
+    got_a2, got_b2 = fd.dual_pyramid_dcn(feats, feats_b, jobs, wa, wb)
+    for lvl in range(2):
+        np.testing.assert_allclose(np.asarray(got_a2[lvl]),
+                                   np.asarray(want_a2[lvl]),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_b2[lvl]),
+                                   np.asarray(want_b2[lvl]),
+                                   rtol=1e-4, atol=1e-4)
+
+    # tower site is untouched by the refine knob
+    full = fd.multilevel_modulated_dcn(feats, offs, masks, wa)
+    monkeypatch.delenv("LSNET_REFINE_TAPS", raising=False)
+    full2 = fd.multilevel_modulated_dcn(feats, offs, masks, wa)
+    for a, b in zip(full, full2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+
+    # gradients flow through the reduced-tap path (it is train-legal)
+    monkeypatch.setenv("LSNET_REFINE_TAPS", "5")
+
+    def loss(w):
+        return sum(jnp.sum(o ** 2)
+                   for o in fd.multilevel_pyramid_dcn(feats, jobs, w))
+
+    g = jax.grad(loss)(wa)
+    assert np.isfinite(np.asarray(g)).all()
+    gz = np.asarray(g).reshape(K, C, ca)
+    for t in range(K):
+        if t not in fd._PLUS_TAPS:
+            np.testing.assert_array_equal(gz[t], 0.0)

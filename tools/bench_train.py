@@ -14,7 +14,26 @@ import numpy as np
 
 os.makedirs("/tmp/jax_cache", exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+
+def mint_variables(model, example):
+    """eval_shape + ONE jitted random init — avoids the eager full-scale
+    model.init (hundreds of sequential dispatches over the axon tunnel)."""
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0),
+                                               example))
+    leaves, treedef = jax.tree.flatten(shapes)
+
+    @jax.jit
+    def mint(key):
+        keys = jax.random.split(key, len(leaves))
+        return jax.tree.unflatten(treedef, [
+            0.03 * jax.random.normal(k, s.shape, s.dtype)
+            if jnp.issubdtype(s.dtype, jnp.floating)
+            else jnp.zeros(s.shape, s.dtype)
+            for k, s in zip(keys, leaves)])
+
+    return mint(jax.random.PRNGKey(0))
 
 
 def main():
@@ -59,7 +78,7 @@ def main():
         [jnp.minimum(bb[..., :2], bb[..., 2:]),
          jnp.maximum(bb[..., :2], bb[..., 2:]) + 8], -1)
 
-    variables = model.init(jax.random.PRNGKey(0), batch["image"][:1])
+    variables = mint_variables(model, batch["image"][:1])
     mask = make_frozen_mask(variables["params"], frozen_param_paths(50, 1))
     tx, _ = build_optimizer(0.01, 1000, [8, 11], trainable_mask=mask)
     state = create_train_state(variables, tx)
