@@ -84,17 +84,19 @@ def init_detector(config: Union[str, Config],
         flat_deform.set_sampling(str(mode))  # global or per-site spec
     canvas = tuple(canvas or cfg.get("canvas_shape", (800, 1344)))
     model, _ = build_detector(cfg.model.to_dict())
-    dummy = jnp.zeros((1, *canvas, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), dummy)
     if checkpoint:
-        from .train.checkpoint import restore_checkpoint
-        from .train.optim import build_optimizer
-        from .train.step import create_train_state
-        tx, _ = build_optimizer(0.01, 1000, [8, 11])
-        state = restore_checkpoint(checkpoint,
-                                   create_train_state(variables, tx))
+        # params-only restore onto an abstract-init shell (no eager init,
+        # no optimizer target — eval never needs opt_state and the train-
+        # time multi_transform structure can't be rebuilt from here)
+        from .train.checkpoint import (init_variables_shell,
+                                       restore_eval_state)
+        state = restore_eval_state(checkpoint,
+                                   init_variables_shell(model, canvas))
         variables = {"params": state.params,
                      "batch_stats": state.batch_stats}
+    else:
+        dummy = jnp.zeros((1, *canvas, 3), jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), dummy)
     if fuse_conv_bn:
         # fold FrozenBN into conv kernels (reference benchmark.py
         # --fuse-conv-bn); pytree structure is preserved, see train/fuse.py

@@ -77,6 +77,10 @@ class DatasetConfig:
     # crop_size in resized pixels) run post-resize.
     augmentations: Tuple = ()
     keep_ratio: bool = True          # False: exact img_scale resize (SSD)
+    # robustness benchmark: (corruption_name, severity) applied to the raw
+    # loaded image, the reference Corrupt-after-LoadImage position
+    # (`tools/test_robustness.py` pipeline patch)
+    corruption: Optional[Tuple[str, int]] = None
 
     def test_scale(self) -> Tuple[int, int]:
         """Deterministic scale for test mode (first scale of the spec)."""
@@ -137,6 +141,10 @@ class CocoDataset:
         info = self.img_infos[idx]
         anns = self.coco.anns_by_img.get(info["id"], [])
         img = self._load_image(info)
+        if self.cfg.corruption is not None:
+            from .corruptions import corrupt
+            img = corrupt(img, self.cfg.corruption[0],
+                          int(self.cfg.corruption[1]))
         sample: Dict = {"image": img, "img_id": info["id"]}
 
         bboxes, labels = [], []

@@ -479,6 +479,14 @@ def build_aug_pipeline(specs):
         elif kind == "RandomCrop":
             cs = tuple(spec["crop_size"])
             steps.append(lambda s, rng, cs=cs: random_crop_sample(s, cs, rng))
+        elif kind == "Corrupt":
+            # reference Corrupt (`transforms.py:1030-1062`); backed by the
+            # in-tree numpy corruption suite (data/corruptions.py) since
+            # the imagecorruptions package is absent here
+            name = spec["corruption"]
+            sev = int(spec.get("severity", 1))
+            steps.append(lambda s, rng, name=name, sev=sev: corrupt_sample(
+                s, name, sev))
         else:
             raise KeyError(f"unknown augmentation {kind!r}")
 
@@ -491,6 +499,20 @@ def build_aug_pipeline(specs):
         return sample
 
     return run if steps else None
+
+
+def corrupt_sample(sample: Dict, corruption: str, severity: int = 1
+                   ) -> Dict:
+    """Apply a named corruption to the sample's image (pixels only; boxes/
+    landmarks untouched — reference Corrupt semantics)."""
+    from .corruptions import corrupt
+    out = dict(sample)
+    img = np.asarray(sample["image"])
+    as_float = img.dtype != np.uint8
+    u8 = np.uint8(np.clip(img, 0, 255)) if as_float else img
+    cor = corrupt(u8, corruption, severity)
+    out["image"] = cor.astype(img.dtype) if as_float else cor
+    return out
 
 
 def normalize_image(img: np.ndarray,

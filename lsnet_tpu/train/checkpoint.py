@@ -34,6 +34,48 @@ def restore_checkpoint(path: str, target):
     return ckptr.restore(os.path.abspath(path), target)
 
 
+def init_variables_shell(model, canvas, *, channels: int = 3):
+    """Zero-valued variables with the training init's structure/dtypes.
+
+    ``jax.eval_shape`` traces ``model.init`` without executing it — an
+    eager init is hundreds of sequential device dispatches over the axon
+    tunnel (minutes of wall before any real work; the bench.py regression
+    of VERDICT r4).  Only valid when a checkpoint restore follows and
+    overwrites every value."""
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, *canvas, channels), jnp.float32)))
+    return jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
+
+
+def restore_eval_state(path: str, variables):
+    """Params/batch_stats-only restore for eval tools.
+
+    The train-time ``opt_state`` structure depends on the exact optimizer
+    wrapping (frozen-stage ``multi_transform`` labels, schedule closures),
+    which eval tools cannot — and should not — reproduce.  Restoring into a
+    freshly built bare optimizer fails with a tree-structure mismatch, so
+    read the raw tree without a target and keep only what inference needs.
+    Mirrors the reference's ``load_checkpoint(model, ...)`` which likewise
+    ignores optimizer state (`mmcv/runner/checkpoint.py`).
+    """
+    import orbax.checkpoint as ocp
+
+    from .step import TrainState
+
+    raw = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+    want = jax.tree.structure(variables["params"])
+    got = jax.tree.structure(raw["params"])
+    if want != got:
+        raise ValueError(
+            f"checkpoint params tree does not match the model built from "
+            f"this config:\n  checkpoint: {got}\n  model: {want}")
+    return TrainState(step=jnp.asarray(raw.get("step", 0), jnp.int32),
+                      params=raw["params"],
+                      batch_stats=raw.get("batch_stats") or {},
+                      opt_state=())
+
+
 def latest_checkpoint(ckpt_dir: str) -> Optional[str]:
     if not os.path.isdir(ckpt_dir):
         return None

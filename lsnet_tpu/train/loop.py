@@ -499,11 +499,14 @@ def evaluate_detector(cfg, model, state, canvas, *, batch_size: int = 8,
     head = _head_cfg(cfg)
     task = {"bbox": "bbox", "segm": "segm",
             "pose_bbox": "pose", "pose_kbox": "pose"}[head.get("task", "bbox")]
+    corrupt_spec = cfg.data.val.get("corruption")  # robustness benchmark
     ds = CocoDataset(DatasetConfig(
         ann_file=cfg.data.val.ann_file, img_prefix=cfg.data.val.img_prefix,
         task=task, num_vectors=_head_num_vectors(cfg, head),
         filter_empty=False,
-        img_scale=tuple(cfg.data.val.get("img_scale", (1333, 800)))),
+        img_scale=tuple(cfg.data.val.get("img_scale", (1333, 800))),
+        corruption=None if corrupt_spec is None else
+        (corrupt_spec[0], int(corrupt_spec[1]))),
         test_mode=True)
     fwd = make_eval_forward(model)
     tcfgs = {}

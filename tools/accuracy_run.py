@@ -125,6 +125,10 @@ TASK_HEADS = {
     "segm": dict(type="LSHead", task="segm", num_vectors=36, num_classes=3),
     "pose": dict(type="LSHead", task="pose_bbox", num_vectors=17,
                  num_classes=1),
+    # kbox: GT box = keypoint extent, the reference lsnet_head.py:1786
+    # kbox GT path — first convergence run demanded by VERDICT r4 #4
+    "pose_kbox": dict(type="LSHead", task="pose_kbox", num_vectors=17,
+                      num_classes=1),
     "cpv": dict(type="LSCPVHead", num_classes=3, num_points=9,
                 shared_stacked_convs=1, corner_dim=16),
 }
@@ -133,18 +137,27 @@ TASK_HEADS = {
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", default="bbox",
-                    choices=["bbox", "segm", "pose", "cpv"])
+                    choices=["bbox", "segm", "pose", "pose_kbox", "cpv"])
     ap.add_argument("--out", default=None)
     ap.add_argument("--epochs", type=int, default=12)
     ap.add_argument("--train", type=int, default=160)
     ap.add_argument("--val", type=int, default=40)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--dcn", action="store_true",
+                    help="DCN model variant: stage_with_dcn backbone + DCN "
+                    "head towers, so every sampling SITE (backbone/tower/"
+                    "refine) is exercised — the round-5 hybrid-sampling "
+                    "frontier is measured on this variant")
+    ap.add_argument("--eval-only", default=None, metavar="CKPT",
+                    help="skip training; restore this orbax checkpoint and "
+                    "evaluate under the current LSNET_* env knobs "
+                    "(sampling policy / tap reduction A/Bs)")
     args = ap.parse_args()
     if args.out is None:
         args.out = f"work/accuracy_r3_{args.task}"
 
     os.makedirs(args.out, exist_ok=True)
-    pose = args.task == "pose"
+    pose = args.task in ("pose", "pose_kbox")
     train_ann, train_dir = make_shapes_coco(
         os.path.join(args.out, "data_train"), args.train, seed=0, pose=pose)
     val_ann, val_dir = make_shapes_coco(
@@ -156,15 +169,21 @@ def main():
     cfg = Config(dict(
         model=dict(
             type="LSCPVDetector" if args.task == "cpv" else "LSDetector",
-            backbone=dict(type="ResNet", depth=18, num_stages=4,
-                          out_indices=(0, 1, 2, 3), frozen_stages=-1),
+            # --dcn uses R50: BasicBlock (R18) carries no DCN, matching the
+            # reference mmdet BasicBlock ("Not implemented yet" assert)
+            backbone=dict(type="ResNet", depth=50 if args.dcn else 18,
+                          num_stages=4,
+                          out_indices=(0, 1, 2, 3), frozen_stages=-1,
+                          stage_with_dcn=((False, True, True, True)
+                                          if args.dcn
+                                          else (False,) * 4)),
             neck=dict(type="FPN", out_channels=64, start_level=1,
                       add_extra_convs="on_input", num_outs=5,
                       norm_cfg=dict(type="GN", num_groups=16)),
             bbox_head=dict(in_channels=64, feat_channels=64,
                            point_feat_channels=64, stacked_convs=2,
                            norm_cfg=dict(type="GN", num_groups=16),
-                           conv_module_type="norm",
+                           conv_module_type="dcn" if args.dcn else "norm",
                            **TASK_HEADS[args.task])),
         train_cfg=dict(
             init=dict(assigner=dict(type="CentroidAssigner", scale=4,
@@ -207,6 +226,28 @@ def main():
         total_epochs=args.epochs,
         seed=0,
     ))
+
+    if args.eval_only:
+        from lsnet_tpu.models import build_detector
+        from lsnet_tpu.train.checkpoint import (init_variables_shell,
+                                                restore_eval_state)
+
+        model, _ = build_detector(cfg.model.to_dict())
+        # params-only restore onto an abstract-init shell: the train-time
+        # opt_state (frozen-mask multi_transform) can't be rebuilt here,
+        # and an eager model.init is the bench.py failure mode of r4
+        state = restore_eval_state(
+            args.eval_only, init_variables_shell(model, (IMG_H, IMG_W)))
+        metrics = evaluate_detector(cfg, model, state, (IMG_H, IMG_W),
+                                    batch_size=args.batch)
+        knobs = {k: v for k, v in os.environ.items()
+                 if k.startswith("LSNET_")}
+        print("FINAL METRICS:", json.dumps(metrics))
+        with open(os.path.join(args.out, "result.json"), "w") as f:
+            json.dump({"metrics": metrics, "eval_only": args.eval_only,
+                       "env": knobs}, f, indent=1)
+        print("wrote", os.path.join(args.out, "result.json"))
+        return
 
     out = train_detector(cfg, args.out, total_epochs=args.epochs,
                          eval_interval=10 ** 9)

@@ -23,24 +23,17 @@ def main():
     parser.add_argument("--out", default=None)
     args = parser.parse_args()
 
-    import jax
-    import jax.numpy as jnp
-
     from lsnet_tpu.models import build_detector
-    from lsnet_tpu.train.checkpoint import restore_checkpoint
+    from lsnet_tpu.train.checkpoint import (init_variables_shell,
+                                            restore_eval_state)
     from lsnet_tpu.train.loop import evaluate_detector
-    from lsnet_tpu.train.optim import build_optimizer
-    from lsnet_tpu.train.step import create_train_state
     from lsnet_tpu.utils.config import Config
 
     cfg = Config.fromfile(args.config)
     canvas = tuple(cfg.get("canvas_shape", (800, 1344)))
     model, _ = build_detector(cfg.model.to_dict())
-    dummy = jnp.zeros((1, *canvas, 3), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(0), dummy)
-    tx, _ = build_optimizer(0.01, 1000, [8, 11])
-    state = create_train_state(variables, tx)
-    state = restore_checkpoint(args.checkpoint, state)
+    state = restore_eval_state(args.checkpoint,
+                               init_variables_shell(model, canvas))
 
     metrics = evaluate_detector(cfg, model, state, canvas,
                                 max_images=args.max_images)
