@@ -56,10 +56,10 @@ def probe_a():
             grid=(1,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec((8, 128), lambda g, idx: (0, 0)),
+            scratch_shapes=[pltpu.VMEM((8, 128), jnp.bfloat16),
+                            pltpu.SemaphoreType.DMA(())],
         ),
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((8, 128), jnp.bfloat16),
-                        pltpu.SemaphoreType.DMA(())],
         interpret=jax.default_backend() != "tpu",
     )(idx, x)
     want = np.asarray(x[40:48])
