@@ -20,15 +20,20 @@ Math contract = ``flat_deform._tap_quad_contract`` single-range
     out[px] = sum_k (qflat[idx[k, px]].reshape(4, C) * w4[k, px, :, None])
                   .reshape(4C) @ wstk[k]
 
-STATUS ON THIS STACK: the axon remote-compile helper 500s on ANY kernel
-using manual DMA primitives / ``pl.ANY`` refs (bisected round 4 — even a
-single static-row ``make_async_copy`` with no scalar prefetch fails,
-while plain-BlockSpec kernels like ``pallas_grouped`` compile fine). The
-kernel is therefore parity-tested in interpret mode (CPU), probed on TPU
-at import of the flag (``tools/probe_dma.py``), and gated default-OFF
-behind ``LSNET_PALLAS_DMA_GATHER=1`` until the toolchain's manual-DMA
-path works. When it opens, this is the only route past the gather-unit
-ceiling toward HBM speed-of-light.
+STATUS (round 5): the round-4 toolchain block (HTTP 500 on any manual-DMA
+kernel) is GONE — ``tools/probe_dma.py`` passes. Mosaic instead enforces
+that HBM memref slices move >=8 sublanes at a time ("Slice shape along
+dimension 0 must be aligned to tiling (8)"), so a per-pixel single-row
+copy is illegal. The kernel therefore views the gather source as
+``qflat.reshape(rows*8, C4//8)``: one logical row = one 8-row-aligned
+``(8, C4//8)`` block (same bytes, legal slice), gathered rows land in a
+``(TPX, 8, C4//8)`` VMEM scratch, and the contraction runs as 8 per-sub-
+row MXU dots with f32 accumulate. All three primitives probe OK on-chip
+(``tools/probe_dma2.py``, docs/perf/r5/probe_dma2.log). Still gated
+behind ``LSNET_PALLAS_DMA_GATHER=1`` pending the on-chip rate
+measurement (per-row DMA descriptors are 2 KB each; whether descriptor
+issue beats the ~250 GB/s XLA gather unit is an empirical question —
+``tools/bench_dma_gather.py``).
 """
 
 from __future__ import annotations
@@ -59,39 +64,52 @@ def _interpret() -> bool:
 
 
 def supported(C4: int, cout: int, dtype) -> bool:
-    """Shapes whose resident blocks fit the VMEM budget."""
+    """Shapes whose resident blocks fit the VMEM budget and satisfy the
+    Mosaic slice-alignment constraint: the 8-row-aligned view needs the
+    sub-row width ``C4/8`` to be a whole number of 128-lane vectors."""
     bpe = jnp.dtype(dtype).itemsize
     rows = TPX * C4 * bpe
     wblk = C4 * cout * bpe
     out = TPX * cout * 4
-    return rows + wblk + out <= _VMEM_BUDGET and C4 % 8 == 0 \
+    return rows + wblk + out <= _VMEM_BUDGET and C4 % (8 * 128) == 0 \
         and cout % 128 == 0
 
 
-def _kernel(idx_ref, qflat_ref, w4_ref, wstk_ref, out_ref, rows, sem,
-            *, tpx: int, c4: int):
-    """Grid (tiles, K); k innermost so the out tile accumulates in VMEM."""
+def _kernel(idx_ref, qflat8_ref, w8_ref, wstk8_ref, out_ref, rows, sem,
+            *, tpx: int):
+    """Grid (tiles, K); k innermost so the out tile accumulates in VMEM.
+
+    ``qflat8`` is the 8-row-aligned HBM view (rows*8, C4/8); one logical
+    row is the (8, C4/8) block at ``idx*8``.  ``rows`` scratch is
+    (tpx, 8, C4/8); the contraction runs as 8 per-sub-row dots against
+    ``wstk8`` (K, 8, C4/8, cout), each sub-row pre-scaled by its corner
+    weight (``w8`` = w4 repeated onto sub-rows; C4 = 4C so each corner is
+    exactly 2 sub-rows)."""
     t = pl.program_id(0)
     k = pl.program_id(1)
     base = t * tpx
 
     def start(p, _):
-        pltpu.make_async_copy(qflat_ref.at[idx_ref[k, base + p]],
-                              rows.at[p], sem.at[p]).start()
+        pltpu.make_async_copy(
+            qflat8_ref.at[pl.ds(idx_ref[k, base + p] * 8, 8)],
+            rows.at[p], sem.at[p]).start()
         return 0
 
     jax.lax.fori_loop(0, tpx, start, 0)
 
     def wait(p, _):
-        pltpu.make_async_copy(qflat_ref.at[0], rows.at[p], sem.at[p]).wait()
+        pltpu.make_async_copy(qflat8_ref.at[pl.ds(0, 8)], rows.at[p],
+                              sem.at[p]).wait()
         return 0
 
     jax.lax.fori_loop(0, tpx, wait, 0)
 
-    v = rows[:].reshape(tpx, 4, c4 // 4)
-    v = v * w4_ref[0].reshape(tpx, 4, 1).astype(v.dtype)
-    contrib = jax.lax.dot(v.reshape(tpx, c4), wstk_ref[0],
-                          preferred_element_type=jnp.float32)
+    contrib = None
+    for j in range(8):
+        v = rows[:, j, :] * w8_ref[0, :, j][:, None].astype(rows.dtype)
+        d = jax.lax.dot(v, wstk8_ref[0, j],
+                        preferred_element_type=jnp.float32)
+        contrib = d if contrib is None else contrib + d
 
     @pl.when(k == 0)
     def _init():
@@ -109,32 +127,39 @@ def _dma_quad_contract_impl(qflat: Array, idx: Array, w4: Array,
     K, px = idx.shape
     C4 = qflat.shape[-1]
     cout = wstk.shape[-1]
+    sub = C4 // 8
     pad = (-px) % TPX
     if pad:
         idx = jnp.pad(idx, ((0, 0), (0, pad)))
         w4 = jnp.pad(w4, ((0, 0), (0, pad), (0, 0)))
     tiles = (px + pad) // TPX
 
+    # same bytes, 8-row-aligned slice granularity (free reshape)
+    qflat8 = qflat.reshape(-1, sub)
+    # corner weight per sub-row: C4 = 4C, sub = C/2 -> corner j//2
+    w8 = jnp.repeat(w4, 2, axis=-1)                     # (K, px', 8)
+    wstk8 = wstk.reshape(K, 8, sub, cout)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(tiles, K),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),               # qflat: HBM
-            pl.BlockSpec((1, TPX, 4), lambda t, k, idx: (k, t, 0)),
-            pl.BlockSpec((1, C4, cout), lambda t, k, idx: (k, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),               # qflat8: HBM
+            pl.BlockSpec((1, TPX, 8), lambda t, k, idx: (k, t, 0)),
+            pl.BlockSpec((1, 8, sub, cout), lambda t, k, idx: (k, 0, 0, 0)),
         ],
         out_specs=pl.BlockSpec((TPX, cout), lambda t, k, idx: (t, 0)),
         scratch_shapes=[
-            pltpu.VMEM((TPX, C4), qflat.dtype),
+            pltpu.VMEM((TPX, 8, sub), qflat.dtype),
             pltpu.SemaphoreType.DMA((TPX,)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_kernel, tpx=TPX, c4=C4),
+        functools.partial(_kernel, tpx=TPX),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((tiles * TPX, cout), jnp.float32),
         interpret=_interpret(),
-    )(idx, qflat, w4, wstk)
+    )(idx, qflat8, w8, wstk8)
     return out[:px]
 
 

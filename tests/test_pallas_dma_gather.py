@@ -1,9 +1,10 @@
 """Parity tests for the scalar-prefetch DMA-gather kernel.
 
 These run in Pallas interpret mode on CPU (the test harness forces the
-CPU backend); the TPU compile path is gated by ``tools/probe_dma.py``
-because the current stack's remote-compile helper rejects manual-DMA
-kernels (docs/PERF.md round 4).
+CPU backend). Since round 5 the TPU compile path is open — the 8-row-
+aligned layout satisfies Mosaic's slice-tiling constraint
+(``tools/probe_dma2.py``); on-chip rate measurement is
+``tools/bench_dma_gather.py``.
 """
 
 import jax
@@ -37,6 +38,18 @@ def test_forward_parity_bf16_unaligned_px():
     # px not a TPX multiple exercises the pad-and-trim path; bf16 is the
     # production dtype.
     qflat, idx, w4, wstk = _case(1, px=333, dtype=jnp.bfloat16)
+    got = pdg.dma_quad_contract(qflat, idx, w4, wstk)
+    want = pdg._xla_quad_contract(qflat, idx, w4, wstk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-1)
+
+
+def test_forward_parity_flagship_shape():
+    # the shape the flagship actually routes (C=256 -> C4=1024, sub-row
+    # width 128): the only case `supported()` admits on TPU
+    qflat, idx, w4, wstk = _case(3, K=9, px=200, C=256, cout=256,
+                                 dtype=jnp.bfloat16)
+    assert pdg.supported(4 * 256, 256, jnp.bfloat16)
     got = pdg.dma_quad_contract(qflat, idx, w4, wstk)
     want = pdg._xla_quad_contract(qflat, idx, w4, wstk)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
