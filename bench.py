@@ -136,13 +136,20 @@ def main():
     img_shapes = jnp.asarray([[H, W]] * B, jnp.int32)
     sfs = jnp.ones((B, 4), jnp.float32)
 
+    from lsnet_tpu.ops.flat_deform import (INFERENCE_REFINE_TAPS,
+                                           INFERENCE_SAMPLING,
+                                           inference_sampling)
+
     def e2e_fn(variables, images, img_shapes, sfs):
-        outs = model.apply(variables, images)
+        with inference_sampling():   # the shipped inference default
+            outs = model.apply(variables, images)
         return lsnet_decode(outs, img_shapes, sfs, tcfg)
 
-    # env knobs that change the compiled graph must be part of the cache key
+    # env knobs that change the compiled graph must be part of the cache
+    # key — as must the in-tree inference default policy
     knobs = ",".join(f"{k}={os.environ.get(k, '')}" for k in sorted(
         k for k in os.environ if k.startswith("LSNET_")))
+    knobs += f";inf={INFERENCE_SAMPLING[0]}/{INFERENCE_REFINE_TAPS[0]}"
     key_extra = f"B{B};{H}x{W};{knobs};cfg={json.dumps(cfg, sort_keys=True)}"
     e2e = compile_cached(e2e_fn, "e2e", key_extra,
                          variables, images, img_shapes, sfs)
@@ -165,8 +172,11 @@ def main():
     _log(f"e2e: {e2e_rate:.2f} img/s/chip")
 
     if os.environ.get("BENCH_FWD", "0") == "1":   # opt-in: second compile
-        fwd = compile_cached(lambda v, im: model.apply(v, im), "fwd",
-                             key_extra, variables, images)
+        def fwd_fn(v, im):
+            with inference_sampling():
+                return model.apply(v, im)
+
+        fwd = compile_cached(fwd_fn, "fwd", key_extra, variables, images)
         fwd_rate = rate(fwd, variables, images)
         _log(f"fwd-only: {fwd_rate:.2f} img/s/chip")
 

@@ -54,7 +54,9 @@ class DetectorBundle:
 
             @jax.jit
             def fwd(variables, images, img_shapes, scale_factors):
-                outs = model.apply(variables, images)
+                from .ops.flat_deform import inference_sampling
+                with inference_sampling():
+                    outs = model.apply(variables, images)
                 return decode_fn(outs, img_shapes, scale_factors, tcfg)
 
             self._fwd_cache[canvas_hw] = fwd
@@ -128,9 +130,12 @@ def init_detector(config: Union[str, Config],
             if canvas_hw not in bundle._fwd_cache:
                 tscfg = two_stage_cfg_from(cfg, canvas_hw)
                 tcfg = test_cfg_from(cfg, canvas_hw)
-                bundle._fwd_cache[canvas_hw] = jax.jit(
-                    lambda v, im, sh, sf: ts_decode(
-                        model, v, im, sh, sf, tscfg, tcfg))
+                def _ts_fwd(v, im, sh, sf, tscfg=tscfg, tcfg=tcfg):
+                    from .ops.flat_deform import inference_sampling
+                    with inference_sampling():
+                        return ts_decode(model, v, im, sh, sf, tscfg, tcfg)
+
+                bundle._fwd_cache[canvas_hw] = jax.jit(_ts_fwd)
             return bundle._fwd_cache[canvas_hw]
 
         bundle.fwd_for = fwd_for
@@ -225,7 +230,9 @@ def aug_test_simple(bundle: DetectorBundle, img: Union[str, np.ndarray],
 
             @jax.jit
             def fwd_cand(variables, images, shapes, sfs):
-                outs = model.apply(variables, images)
+                from .ops.flat_deform import inference_sampling
+                with inference_sampling():
+                    outs = model.apply(variables, images)
                 return lsnet_decode_candidates(outs, shapes, sfs, cfg,
                                                rescale=False)
 

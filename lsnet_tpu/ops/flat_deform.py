@@ -57,6 +57,8 @@ def _parse_sampling(spec: Optional[str]) -> Tuple[str, dict]:
 _d, _p = _parse_sampling(os.environ.get("LSNET_DCN_SAMPLING"))
 SAMPLING = [_d]
 SAMPLING_POLICY = dict(_p)
+# explicit user choice (env or set_sampling) wins over INFERENCE_SAMPLING
+_SAMPLING_EXPLICIT = [os.environ.get("LSNET_DCN_SAMPLING") is not None]
 
 
 def set_sampling(spec: Optional[str]) -> None:
@@ -65,6 +67,7 @@ def set_sampling(spec: Optional[str]) -> None:
     SAMPLING[0] = default
     SAMPLING_POLICY.clear()
     SAMPLING_POLICY.update(policy)
+    _SAMPLING_EXPLICIT[0] = spec is not None
 
 
 import contextlib
@@ -91,14 +94,56 @@ def _site_sampling(site: Optional[str]):
 # indices). Applies to site="refine" jobs with K==9 only.
 _PLUS_TAPS = (1, 3, 4, 5, 7)
 
+# trace-scoped override armed by inference_sampling() (None = env only)
+_REFINE_TAPS_OVERRIDE: List[Optional[str]] = [None]
+
 
 def _refine_taps() -> Optional[Tuple[int, ...]]:
     spec = os.environ.get("LSNET_REFINE_TAPS", "")
+    if not spec:
+        spec = _REFINE_TAPS_OVERRIDE[0] or ""
     if not spec or spec == "9":
         return None
     if spec == "5":
         return _PLUS_TAPS
     return tuple(int(t) for t in spec.split(","))
+
+
+# ---------------------------------------------------------------- inference
+# Default INFERENCE-TIME sampling policy. Training always traces with the
+# reference-parity bilinear / 9-tap configuration (nearest rounding has
+# zero offset gradient); inference forward builders (apis, eval loop,
+# bench, TTA) wrap their trace in inference_sampling(), which applies
+# this policy UNLESS the user explicitly chose one via LSNET_DCN_SAMPLING
+# / LSNET_REFINE_TAPS / cfg test_cfg.dcn_sampling (explicit always wins).
+# Flip gate: the policy must hold the measured AP delta within the
+# -0.3 AP budget on the frontier checkpoint (docs/accuracy/r5/).
+INFERENCE_SAMPLING: List[Optional[str]] = [None]
+INFERENCE_REFINE_TAPS: List[Optional[str]] = [None]
+
+
+@contextlib.contextmanager
+def inference_sampling():
+    """Scope the inference-default sampling policy to a forward trace.
+
+    Used INSIDE the traced function so it takes effect exactly while
+    tracing and is a no-op on later executions of the compiled program."""
+    spec = INFERENCE_SAMPLING[0]
+    taps = INFERENCE_REFINE_TAPS[0]
+    prev = (SAMPLING[0], dict(SAMPLING_POLICY), _REFINE_TAPS_OVERRIDE[0])
+    if spec is not None and not _SAMPLING_EXPLICIT[0]:
+        d, p = _parse_sampling(spec)
+        SAMPLING[0] = d
+        SAMPLING_POLICY.clear()
+        SAMPLING_POLICY.update(p)
+    if taps is not None and not os.environ.get("LSNET_REFINE_TAPS"):
+        _REFINE_TAPS_OVERRIDE[0] = taps
+    try:
+        yield
+    finally:
+        SAMPLING[0], pol, _REFINE_TAPS_OVERRIDE[0] = prev[0], prev[1], prev[2]
+        SAMPLING_POLICY.clear()
+        SAMPLING_POLICY.update(pol)
 
 
 def _apply_refine_taps(jobs, weights, K: int):

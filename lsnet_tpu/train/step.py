@@ -104,9 +104,11 @@ def make_train_step(model, tx, loss_cfg: LossConfig, mesh=None,
 
 def make_eval_forward(model, mesh=None) -> Callable:
     """Jitted forward for inference (decode happens in core.decode)."""
+    from ..ops.flat_deform import inference_sampling
 
     def forward(variables, images):
-        return model.apply(variables, images)
+        with inference_sampling():   # inference-default DCN policy (trace)
+            return model.apply(variables, images)
 
     if mesh is None:
         return jax.jit(forward)

@@ -684,3 +684,48 @@ def test_refine_tap_reduction(monkeypatch):
     for t in range(K):
         if t not in fd._PLUS_TAPS:
             np.testing.assert_array_equal(gz[t], 0.0)
+
+
+def test_inference_sampling_context():
+    """inference_sampling() applies the in-tree inference default policy
+    during the trace it wraps — and ONLY there: training traces (no
+    context) keep bilinear/9-tap, and an explicit user choice via
+    set_sampling()/env wins over the default."""
+    import os
+
+    from lsnet_tpu.ops import flat_deform as fd
+
+    assert fd.SAMPLING[0] == "bilinear" and not fd.SAMPLING_POLICY
+
+    prev = (fd.INFERENCE_SAMPLING[0], fd.INFERENCE_REFINE_TAPS[0])
+    try:
+        fd.INFERENCE_SAMPLING[0] = "backbone=nearest,tower=nearest"
+        fd.INFERENCE_REFINE_TAPS[0] = "5"
+
+        with fd.inference_sampling():
+            assert fd.SAMPLING_POLICY == {"backbone": "nearest",
+                                          "tower": "nearest"}
+            assert fd.SAMPLING[0] == "bilinear"      # unlisted sites
+            assert fd._refine_taps() == fd._PLUS_TAPS
+        # outside the trace scope: training defaults restored
+        assert not fd.SAMPLING_POLICY
+        assert fd._refine_taps() is None
+
+        # explicit user choice wins over the inference default
+        fd.set_sampling("nearest")
+        with fd.inference_sampling():
+            assert fd.SAMPLING[0] == "nearest"
+            assert not fd.SAMPLING_POLICY
+        fd.set_sampling(None)
+        assert not fd._SAMPLING_EXPLICIT[0]
+
+        # env taps spec wins over the inference default
+        os.environ["LSNET_REFINE_TAPS"] = "9"
+        try:
+            with fd.inference_sampling():
+                assert fd._refine_taps() is None     # 9 = full grid
+        finally:
+            del os.environ["LSNET_REFINE_TAPS"]
+    finally:
+        fd.INFERENCE_SAMPLING[0], fd.INFERENCE_REFINE_TAPS[0] = prev
+        fd.set_sampling(None)
