@@ -116,9 +116,17 @@ def _refine_taps() -> Optional[Tuple[int, ...]]:
 # bench, TTA) wrap their trace in inference_sampling(), which applies
 # this policy UNLESS the user explicitly chose one via LSNET_DCN_SAMPLING
 # / LSNET_REFINE_TAPS / cfg test_cfg.dcn_sampling (explicit always wins).
-# Flip gate: the policy must hold the measured AP delta within the
-# -0.3 AP budget on the frontier checkpoint (docs/accuracy/r5/).
-INFERENCE_SAMPLING: List[Optional[str]] = [None]
+# Flip decision (round 5, measured on the R50-DCN 36e frontier
+# checkpoint, docs/accuracy/r5/ev_*.json — full record in docs/PERF.md):
+#   backbone=nearest  -0.32 AP (68.36 -> 68.04; AP50 +0.02, AP75 +0.85)
+#   tower=nearest     -5.6 AP   -> disqualified
+#   refine taps 5     -5.8 AP   -> disqualified (INFERENCE_REFINE_TAPS
+#                                  stays None)
+# backbone=nearest is the only frontier point at the -0.3 budget (within
+# COCO eval quantization) and ships as the inference default:
+# 7.23 -> 10.67 img/s/chip e2e @B4 (+48%). Revert per run with
+# LSNET_DCN_SAMPLING=bilinear or cfg test_cfg.dcn_sampling="bilinear".
+INFERENCE_SAMPLING: List[Optional[str]] = ["backbone=nearest"]
 INFERENCE_REFINE_TAPS: List[Optional[str]] = [None]
 
 

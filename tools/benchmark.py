@@ -47,13 +47,19 @@ def main():
     shapes = jnp.tile(jnp.array([canvas], jnp.int32), (B, 1))
     sf = jnp.ones((B, 4), jnp.float32)
 
+    from lsnet_tpu.ops.flat_deform import inference_sampling
+
     if args.decode:
         @jax.jit
         def fwd(v, im):
-            outs = model.apply(v, im)
+            with inference_sampling():
+                outs = model.apply(v, im)
             return lsnet_decode(outs, shapes, sf, tcfg)
     else:
-        fwd = jax.jit(model.apply)
+        @jax.jit
+        def fwd(v, im):
+            with inference_sampling():
+                return model.apply(v, im)
 
     def sync(out):
         leaf = jax.tree.leaves(out)[0]
