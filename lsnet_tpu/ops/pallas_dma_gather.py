@@ -54,6 +54,11 @@ ENABLED = [os.environ.get("LSNET_PALLAS_DMA_GATHER", "0") == "1"]
 # px-tile: one DMA burst of TPX rows per (tile, tap) grid step.
 TPX = 128
 
+# px per pallas_call: the scalar-prefetch idx array is SMEM-resident
+# (1 MB total); K=9 x 8192 x s32 = 288 KB leaves headroom for program
+# scalars + register spills (16384 px measured 1.1 KB over the 1 MB cap).
+PX_CALL = 8192
+
 # VMEM budget for the resident blocks (rows scratch + one tap of the
 # stacked weight + out tile), leaving headroom for Mosaic's own buffers.
 _VMEM_BUDGET = 12 * 1024 * 1024
@@ -125,6 +130,19 @@ def _dma_quad_contract_impl(qflat: Array, idx: Array, w4: Array,
     """out (px, cout) f32. qflat (rows, 4C); idx (K, px) int32;
     w4 (K, px, 4) f32; wstk (K, 4C, cout)."""
     K, px = idx.shape
+    if px > PX_CALL:
+        # bound the SMEM-resident scalar-prefetch array per call
+        pad = (-px) % PX_CALL
+        if pad:
+            idx = jnp.pad(idx, ((0, 0), (0, pad)))
+            w4 = jnp.pad(w4, ((0, 0), (0, pad), (0, 0)))
+        n = (px + pad) // PX_CALL
+        idx_c = idx.reshape(K, n, PX_CALL).transpose(1, 0, 2)
+        w4_c = w4.reshape(K, n, PX_CALL, 4).transpose(1, 0, 2, 3)
+        out = jax.lax.map(
+            lambda a: _dma_quad_contract_impl(qflat, a[0], a[1], wstk),
+            (idx_c, w4_c))
+        return out.reshape(n * PX_CALL, -1)[:px]
     C4 = qflat.shape[-1]
     cout = wstk.shape[-1]
     sub = C4 // 8

@@ -81,3 +81,14 @@ def test_probe_runs_on_cpu():
 def test_supported_budget():
     assert pdg.supported(4 * 256, 256, jnp.bfloat16)
     assert not pdg.supported(4 * 4096, 4096, jnp.float32)
+
+
+def test_px_chunking(monkeypatch):
+    # px > PX_CALL splits the scalar-prefetch array across pallas_calls
+    # (SMEM is 1 MB; 9 x 16384 x s32 measured 1.1 KB over it on-chip)
+    monkeypatch.setattr(pdg, "PX_CALL", 128)
+    qflat, idx, w4, wstk = _case(4, px=300)
+    got = pdg.dma_quad_contract(qflat, idx, w4, wstk)
+    want = pdg._xla_quad_contract(qflat, idx, w4, wstk)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-4)
