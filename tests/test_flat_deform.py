@@ -695,7 +695,11 @@ def test_inference_sampling_context():
 
     from lsnet_tpu.ops import flat_deform as fd
 
+    # earlier tests may have restored via set_sampling("bilinear"), which
+    # correctly counts as an explicit user choice; reset to pristine
+    fd.set_sampling(None)
     assert fd.SAMPLING[0] == "bilinear" and not fd.SAMPLING_POLICY
+    assert not fd._SAMPLING_EXPLICIT[0]
 
     prev = (fd.INFERENCE_SAMPLING[0], fd.INFERENCE_REFINE_TAPS[0])
     try:
