@@ -84,6 +84,12 @@ def init_detector(config: Union[str, Config],
     if mode:
         from .ops import flat_deform
         flat_deform.set_sampling(str(mode))  # global or per-site spec
+    # inference-only gather-source quantization override (cfg wins over
+    # the LSNET_GATHER_QUANT env default) — see ops/flat_deform.QUANT
+    qmode = cfg.get("test_cfg", {}).get("dcn_gather_quant")
+    if qmode:
+        from .ops import flat_deform
+        flat_deform.set_quant(str(qmode))  # "int8"/"fp8" or per-site spec
     canvas = tuple(canvas or cfg.get("canvas_shape", (800, 1344)))
     model, _ = build_detector(cfg.model.to_dict())
     if checkpoint:

@@ -70,19 +70,68 @@ def set_sampling(spec: Optional[str]) -> None:
     _SAMPLING_EXPLICIT[0] = spec is not None
 
 
+# Gather-SOURCE row quantization (VERDICT r4 #3c): store the flat feature
+# buffer that the DCN gathers read as int8 (or fp8 e4m3) rows with a
+# per-channel dequant scale FOLDED INTO the contraction weight — the
+# gather unit then moves half the bf16 bytes per row and the dequant is
+# a free cast fused into the gather consumer; accumulation stays f32
+# (``preferred_element_type``). Same spec grammar as the sampling policy:
+# "int8" / "fp8" global, or per-site "backbone=int8,tower=fp8". Linear
+# per-channel scaling commutes with the bilinear corner weights and the
+# DCNv2 modulation mask, so only the int8/fp8 rounding is approximation.
+# Inference-only by default (rounding has zero gradient; training traces
+# keep bf16 parity unless the env knob is set explicitly). Unlike
+# nearest sampling this quantizes the sampled VALUES, not the trained
+# sampling POSITIONS (reference semantics:
+# `/root/reference/code/mmdet/ops/dcn/src/cuda/deform_conv_cuda_kernel.cu:249-302`),
+# so it composes with any per-site sampling choice.
+
+
+def _parse_quant(spec: Optional[str]) -> Tuple[str, dict]:
+    spec = (spec or "").strip()
+    if not spec:
+        return "off", {}
+    if "=" not in spec:
+        return spec, {}
+    policy = {}
+    for part in spec.split(","):
+        site, _, mode = part.partition("=")
+        policy[site.strip()] = mode.strip() or "int8"
+    return "off", policy
+
+
+_qd, _qp = _parse_quant(os.environ.get("LSNET_GATHER_QUANT"))
+QUANT = [_qd]
+QUANT_POLICY = dict(_qp)
+_QUANT_EXPLICIT = [os.environ.get("LSNET_GATHER_QUANT") is not None]
+
+
+def set_quant(spec: Optional[str]) -> None:
+    """Set the gather-source quantization mode/policy (see above)."""
+    default, policy = _parse_quant(spec)
+    QUANT[0] = default
+    QUANT_POLICY.clear()
+    QUANT_POLICY.update(policy)
+    _QUANT_EXPLICIT[0] = spec is not None
+
+
 import contextlib
 
 
 @contextlib.contextmanager
 def _site_sampling(site: Optional[str]):
-    """Scope the effective SAMPLING mode to a call site during tracing."""
+    """Scope the effective SAMPLING/QUANT modes to a call site while
+    tracing."""
     prev = SAMPLING[0]
+    prev_q = QUANT[0]
     if site is not None:
         SAMPLING[0] = SAMPLING_POLICY.get(site, prev)
+        QUANT[0] = QUANT_POLICY.get(site, prev_q)
     try:
         yield
     finally:
         SAMPLING[0] = prev
+        QUANT[0] = prev_q
 
 
 # Tap reduction for the REFINE site (VERDICT r4 #3b): the pyramid-refine
@@ -128,6 +177,10 @@ def _refine_taps() -> Optional[Tuple[int, ...]]:
 # LSNET_DCN_SAMPLING=bilinear or cfg test_cfg.dcn_sampling="bilinear".
 INFERENCE_SAMPLING: List[Optional[str]] = ["backbone=nearest"]
 INFERENCE_REFINE_TAPS: List[Optional[str]] = [None]
+# Inference-default gather-source quantization spec (None = off until a
+# measured AP/throughput decision flips it — same protocol as the
+# sampling default above).
+INFERENCE_QUANT: List[Optional[str]] = [None]
 
 
 @contextlib.contextmanager
@@ -138,7 +191,9 @@ def inference_sampling():
     tracing and is a no-op on later executions of the compiled program."""
     spec = INFERENCE_SAMPLING[0]
     taps = INFERENCE_REFINE_TAPS[0]
-    prev = (SAMPLING[0], dict(SAMPLING_POLICY), _REFINE_TAPS_OVERRIDE[0])
+    qspec = INFERENCE_QUANT[0]
+    prev = (SAMPLING[0], dict(SAMPLING_POLICY), _REFINE_TAPS_OVERRIDE[0],
+            QUANT[0], dict(QUANT_POLICY))
     if spec is not None and not _SAMPLING_EXPLICIT[0]:
         d, p = _parse_sampling(spec)
         SAMPLING[0] = d
@@ -146,12 +201,20 @@ def inference_sampling():
         SAMPLING_POLICY.update(p)
     if taps is not None and not os.environ.get("LSNET_REFINE_TAPS"):
         _REFINE_TAPS_OVERRIDE[0] = taps
+    if qspec is not None and not _QUANT_EXPLICIT[0]:
+        qd, qp = _parse_quant(qspec)
+        QUANT[0] = qd
+        QUANT_POLICY.clear()
+        QUANT_POLICY.update(qp)
     try:
         yield
     finally:
         SAMPLING[0], pol, _REFINE_TAPS_OVERRIDE[0] = prev[0], prev[1], prev[2]
         SAMPLING_POLICY.clear()
         SAMPLING_POLICY.update(pol)
+        QUANT[0] = prev[3]
+        QUANT_POLICY.clear()
+        QUANT_POLICY.update(prev[4])
 
 
 def _apply_refine_taps(jobs, weights, K: int):
@@ -180,6 +243,78 @@ def _apply_refine_taps(jobs, weights, K: int):
         new_weights.append(
             w.reshape(K, cin, cout)[sel_ix].reshape(1, T, cin, cout))
     return new_jobs, new_weights, T
+
+
+class _QuantRows:
+    """Duck-typed stand-in for a flat (N, C) gather-source buffer.
+
+    Holds the quantized rows; ``buf[idx]`` gathers the narrow rows and
+    casts back to the compute dtype (the cast fuses into the gather
+    consumer). The per-channel dequant scale is NOT applied here — it is
+    folded into the contraction weight upstream (:func:`_quant_fold`), so
+    downstream corner-weight/mask multiplies act on scaled values, which
+    is exact (per-channel scaling is linear)."""
+
+    def __init__(self, q: Array, dtype):
+        self.q = q
+        self.dtype = dtype
+
+    @property
+    def shape(self):
+        return self.q.shape
+
+    def __getitem__(self, idx):
+        return self.q[idx].astype(self.dtype)
+
+
+def _quantize_rows(flat: Array, mode: str) -> Tuple[Array, Array]:
+    """(N, C) -> (quantized rows, per-channel dequant scale (C,) f32).
+
+    ``int8``: symmetric per-channel, max |x| -> 127 (7.99 effective bits).
+    ``fp8``: e4m3, per-channel scale to the 448 saturation point (wider
+    dynamic range per element, 3 mantissa bits)."""
+    f = flat.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(f), axis=0)
+    if mode == "fp8":
+        s = jnp.maximum(amax / 448.0, 1e-12)
+        q = (f / s).astype(jnp.float8_e4m3fn)
+    else:
+        s = jnp.maximum(amax / 127.0, 1e-12)
+        q = jnp.clip(jnp.round(f / s), -127, 127).astype(jnp.int8)
+    # zero-through: rounding carries no useful gradient (inference-time
+    # approximation, like nearest sampling) and differentiating an int
+    # cast is an error — cut the tape here explicitly
+    return jax.lax.stop_gradient(q), jax.lax.stop_gradient(s)
+
+
+def _fold_scale(weight: Array, groups: int, s: Array) -> Array:
+    """Fold a per-input-channel dequant scale into a conv weight.
+
+    weight: (kh, kw, C/G, cout) with group-major cout (the layout
+    :func:`_blockdiag_weight` assumes: flat input channel g*Cg + c pairs
+    weight[..., c, g*outG + j])."""
+    kh, kw, cg, cout = weight.shape
+    w = weight.astype(jnp.float32)
+    if groups == 1:
+        w = w * s[None, None, :, None]
+    else:
+        outg = cout // groups
+        w = (w.reshape(kh, kw, cg, groups, outg)
+             * s.reshape(groups, cg).T[None, None, :, :, None]
+             ).reshape(kh, kw, cg, cout)
+    return w.astype(weight.dtype)
+
+
+def _quant_fold(flat: Array, folds, mode: str):
+    """Quantize gather-source rows and fold the dequant scale into each
+    consumer weight. folds: [(c0, weight, groups), ...] with c0 the
+    consumer's channel offset in ``flat``. Returns (_QuantRows, [weight'])."""
+    q, s = _quantize_rows(flat, mode)
+    out_w = []
+    for c0, w, g in folds:
+        cin = w.shape[2] * g
+        out_w.append(_fold_scale(w, g, s[c0:c0 + cin]))
+    return _QuantRows(q, flat.dtype), out_w
 
 
 class FlatLevels(NamedTuple):
@@ -711,6 +846,8 @@ def _pair_view(flat: Array) -> Array:
     sample at idx = -1 still pairs the correct right element (x = 0).
     One extra copy of the feature buffer — small next to the
     gathered-patch transient it accelerates."""
+    if isinstance(flat, _QuantRows):
+        return _QuantRows(_pair_view(flat.q), flat.dtype)
     C = flat.shape[1]
     z = jnp.zeros((1, C), flat.dtype)
     padded = jnp.concatenate([z, flat, z], axis=0)        # (N+2, C)
@@ -1006,6 +1143,10 @@ def batched_deform_matmul(levels: FlatLevels, jobs: Sequence[SampleJob],
         rows = levels.B * sum(
             j.offset.shape[1] * j.offset.shape[2] * K for j in jobs)
         over = rows * C > _CHUNK_BUDGET_ELEMS[0]
+        if QUANT[0] != "off" and not _use_quad(C):
+            flat, (weight,) = _quant_fold(flat, [(0, weight, groups)],
+                                          QUANT[0])
+            lv = lv._replace(flat=flat)
         if _use_quad(C):
             from .pallas_grouped import ENABLED, supported
             if not (groups > 1 and ENABLED[0]
@@ -1080,6 +1221,11 @@ def dual_pyramid_dcn(feats_a: Sequence[Array], feats_b: Sequence[Array],
         rows = levels.B * sum(
             j.offset.shape[1] * j.offset.shape[2] * K for j in jb)
         over = rows * C > _CHUNK_BUDGET_ELEMS[0]
+        if QUANT[0] != "off" and not _use_quad(C):
+            fq, (weight_a, weight_b) = _quant_fold(
+                levels.flat, [(0, weight_a, 1), (Ca, weight_b, 1)],
+                QUANT[0])
+            levels = levels._replace(flat=fq)
         if _use_quad(C):
             outs, job_sizes = _run_quad(levels, jb, K, [(0, Ca), (Ca, C)],
                                         [weight_a, weight_b], [1, 1])
@@ -1175,6 +1321,12 @@ def multi_branch_modulated_dcn(branches, *, stride: int = 1,
         feats_cat = [jnp.concatenate([f[i] for f in feats_all], -1)
                      for i in range(n_lvl)]
         levels = pack_levels(feats_cat)
+        if QUANT[0] != "off":
+            fq, weights = _quant_fold(
+                levels.flat,
+                [(starts[bi], weights[bi], 1) for bi in range(n_br)],
+                QUANT[0])
+            levels = levels._replace(flat=fq)
         jobs = [j for bi in range(n_br) for j in jobs_of(bi)]
         B = levels.B
         vals, job_sizes = _gather_weighted(levels, jobs, K)

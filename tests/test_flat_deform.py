@@ -733,3 +733,249 @@ def test_inference_sampling_context():
     finally:
         fd.INFERENCE_SAMPLING[0], fd.INFERENCE_REFINE_TAPS[0] = prev
         fd.set_sampling(None)
+
+
+def _repr_feats(rng, shapes, B, C):
+    """Features exactly representable under per-channel int8 quantization:
+    channel c holds integers in [-127, 127] times scale_c, with a +/-127
+    hit forced in every channel so the dynamic amax recovers scale_c."""
+    scale = (0.01 * (np.arange(C) + 1)).astype(np.float32)
+    feats = []
+    for h, w in shapes:
+        v = rng.randint(-127, 128, size=(B, h, w, C)).astype(np.float32)
+        v[0, 0, 0, :] = 127.0
+        feats.append(jnp.asarray(v * scale))
+    return feats
+
+
+def test_gather_quant_int8_exact_on_representable():
+    """LSNET_GATHER_QUANT=int8 (round 5, VERDICT r4 #3c): per-channel
+    symmetric quantization of the gather-source rows with the dequant
+    scale folded into the contraction weight. On exactly-representable
+    features the quantized engine must reproduce the bf16/f32 path to
+    matmul-reassociation tolerance — on BOTH the paired (C<=512) and the
+    tap-major gather layouts, with and without DCNv2 masks."""
+    from lsnet_tpu.ops import flat_deform as fd
+
+    rng = np.random.RandomState(11)
+    B, Cq, cout, K = 2, 16, 12, 9
+    shapes = [(9, 13), (5, 7)]
+    feats = _repr_feats(rng, shapes, B, Cq)
+    offs = [jnp.asarray(2.0 * rng.randn(B, h, w, 2 * K).astype(np.float32))
+            for h, w in shapes]
+    masks = [jnp.asarray(rng.rand(B, h, w, K).astype(np.float32))
+             for h, w in shapes]
+    w = jnp.asarray(rng.randn(3, 3, Cq, cout).astype(np.float32))
+
+    try:
+        fd.set_quant(None)
+        ref = fd.multilevel_modulated_dcn(feats, offs, masks, w,
+                                          site="tower")
+        fd.set_quant("int8")
+        for paired in (True, False):
+            prev = fd.PAIRED_X[0]
+            fd.PAIRED_X[0] = paired
+            try:
+                got = fd.multilevel_modulated_dcn(feats, offs, masks, w,
+                                                  site="tower")
+            finally:
+                fd.PAIRED_X[0] = prev
+            for g, r in zip(got, ref):
+                np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                           rtol=1e-4, atol=1e-4)
+    finally:
+        fd.set_quant(None)
+
+
+def test_gather_quant_int8_grouped_fold():
+    """Grouped conv (ResNeXt DCN stages): the per-channel scale must fold
+    into the (kh, kw, C/G, cout) group-major weight layout correctly."""
+    from lsnet_tpu.ops import flat_deform as fd
+    from lsnet_tpu.ops import pallas_grouped
+
+    rng = np.random.RandomState(12)
+    B, Cq, G, cout, K = 1, 16, 4, 8, 9
+    shapes = [(8, 10)]
+    feats = _repr_feats(rng, shapes, B, Cq)
+    offs = [jnp.asarray(1.5 * rng.randn(B, 8, 10, 2 * K).astype(np.float32))]
+    masks = [jnp.asarray(rng.rand(B, 8, 10, K).astype(np.float32))]
+    wg = jnp.asarray(rng.randn(3, 3, Cq // G, cout).astype(np.float32))
+
+    prev_pallas = pallas_grouped.ENABLED[0]
+    pallas_grouped.ENABLED[0] = False  # exercise the block-diag fold
+    try:
+        fd.set_quant(None)
+        ref = fd.multilevel_modulated_dcn(feats, offs, masks, wg,
+                                          groups=G, site="backbone")
+        fd.set_quant("int8")
+        got = fd.multilevel_modulated_dcn(feats, offs, masks, wg,
+                                          groups=G, site="backbone")
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                                   rtol=1e-4, atol=1e-4)
+    finally:
+        pallas_grouped.ENABLED[0] = prev_pallas
+        fd.set_quant(None)
+
+
+def test_gather_quant_pyramid_and_dual():
+    """Quantization through the pyramid-refine paths: multilevel_pyramid_dcn
+    and the dual (shared-offset two-branch) gather."""
+    from lsnet_tpu.ops import flat_deform as fd
+
+    rng = np.random.RandomState(13)
+    B, Cq, cout, K = 1, 8, 6, 9
+    shapes = [(9, 13), (5, 7), (3, 4)]
+    feats = _repr_feats(rng, shapes, B, Cq)
+    w = jnp.asarray(rng.randn(3, 3, Cq, cout).astype(np.float32))
+    wb = jnp.asarray(rng.randn(3, 3, Cq, cout).astype(np.float32))
+    h0, w0 = shapes[0]
+    jobs = []
+    for src in range(3):
+        off = jnp.asarray(1.5 * rng.randn(B, h0, w0, 2 * K)
+                          .astype(np.float32))
+        sh = shapes[src][0] / h0
+        sw = shapes[src][1] / w0
+        jobs.append(SampleJob(src, off, None, (sh, sw), (1, 1), (1, 1),
+                              (1, 1)))
+
+    try:
+        fd.set_quant(None)
+        ref = fd.multilevel_pyramid_dcn(feats, jobs, w)
+        ref_a, ref_b = fd.dual_pyramid_dcn(feats, feats, jobs, w, wb)
+        fd.set_quant("int8")
+        got = fd.multilevel_pyramid_dcn(feats, jobs, w)
+        got_a, got_b = fd.dual_pyramid_dcn(feats, feats, jobs, w, wb)
+        for g, r in zip(got + got_a + got_b, ref + ref_a + ref_b):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=1e-4, atol=1e-4)
+    finally:
+        fd.set_quant(None)
+
+
+def test_gather_quant_approximation_and_fp8():
+    """On arbitrary floats int8 per-channel quantization is a small
+    relative approximation (well under 1.5% of the output range); fp8
+    (e4m3) is coarser but bounded. Also: per-site spec parses and scopes."""
+    from lsnet_tpu.ops import flat_deform as fd
+
+    rng = np.random.RandomState(14)
+    B, Cq, cout, K = 2, 8, 6, 9
+    feats = [jnp.asarray(rng.randn(B, 10, 12, Cq).astype(np.float32))]
+    offs = [jnp.asarray(2.0 * rng.randn(B, 10, 12, 2 * K)
+                        .astype(np.float32))]
+    masks = [jnp.asarray(rng.rand(B, 10, 12, K).astype(np.float32))]
+    w = jnp.asarray(rng.randn(3, 3, Cq, cout).astype(np.float32))
+
+    try:
+        fd.set_quant(None)
+        ref = np.asarray(fd.multilevel_modulated_dcn(
+            feats, offs, masks, w, site="tower")[0])
+        scale = np.abs(ref).max()
+        for mode, tol in (("int8", 0.015), ("fp8", 0.08)):
+            fd.set_quant(mode)
+            got = np.asarray(fd.multilevel_modulated_dcn(
+                feats, offs, masks, w, site="tower")[0])
+            err = np.abs(got - ref).max() / scale
+            assert err < tol, (mode, err)
+            assert err > 0  # it genuinely quantized
+
+        # per-site scoping: backbone=int8 leaves tower-site calls exact
+        fd.set_quant("backbone=int8")
+        assert fd.QUANT[0] == "off"
+        assert fd.QUANT_POLICY == {"backbone": "int8"}
+        tower = np.asarray(fd.multilevel_modulated_dcn(
+            feats, offs, masks, w, site="tower")[0])
+        np.testing.assert_allclose(tower, ref, rtol=2e-5, atol=2e-5)
+        backbone = np.asarray(fd.multilevel_modulated_dcn(
+            feats, offs, masks, w, site="backbone")[0])
+        assert np.abs(backbone - ref).max() > 0
+        assert fd.QUANT[0] == "off"  # restored after site-scoped call
+    finally:
+        fd.set_quant(None)
+
+
+def test_gather_quant_inference_default_arming():
+    """INFERENCE_QUANT arms inside inference_sampling() unless the user
+    chose explicitly; restored on exit."""
+    from lsnet_tpu.ops import flat_deform as fd
+
+    try:
+        fd.set_quant(None)
+        fd._QUANT_EXPLICIT[0] = False
+        prev_inf = fd.INFERENCE_QUANT[0]
+        fd.INFERENCE_QUANT[0] = "backbone=int8"
+        try:
+            with fd.inference_sampling():
+                assert fd.QUANT_POLICY == {"backbone": "int8"}
+            assert fd.QUANT_POLICY == {}
+            # explicit user choice wins over the inference default
+            fd.set_quant("fp8")
+            with fd.inference_sampling():
+                assert fd.QUANT[0] == "fp8"
+                assert fd.QUANT_POLICY == {}
+        finally:
+            fd.INFERENCE_QUANT[0] = prev_inf
+    finally:
+        fd.set_quant(None)
+
+
+def test_gather_quant_chunked_matches_unchunked():
+    """Quantized gather under the chunk budget (lax.map pixel chunks) ==
+    single-pass quantized gather."""
+    from lsnet_tpu.ops import flat_deform as fd
+
+    rng = np.random.RandomState(15)
+    B, Cq, cout, K = 1, 8, 6, 9
+    shapes = [(12, 14)]
+    feats = _repr_feats(rng, shapes, B, Cq)
+    offs = [jnp.asarray(1.5 * rng.randn(B, 12, 14, 2 * K)
+                        .astype(np.float32))]
+    masks = [jnp.asarray(rng.rand(B, 12, 14, K).astype(np.float32))]
+    w = jnp.asarray(rng.randn(3, 3, Cq, cout).astype(np.float32))
+
+    try:
+        fd.set_quant("int8")
+        one = fd.multilevel_modulated_dcn(feats, offs, masks, w,
+                                          site="tower")
+        prev = fd._CHUNK_BUDGET_ELEMS[0]
+        fd.set_chunk_budget(4096)
+        try:
+            chunked = fd.multilevel_modulated_dcn(feats, offs, masks, w,
+                                                  site="tower")
+        finally:
+            fd._CHUNK_BUDGET_ELEMS[0] = prev
+        np.testing.assert_allclose(np.asarray(chunked[0]),
+                                   np.asarray(one[0]), rtol=1e-5,
+                                   atol=1e-5)
+    finally:
+        fd.set_quant(None)
+
+
+def test_gather_quant_composes_with_nearest():
+    """backbone=nearest + backbone=int8 (the shipped-default + quant
+    candidate): composition must equal nearest-sampling on the
+    unquantized buffer for representable features."""
+    from lsnet_tpu.ops import flat_deform as fd
+
+    rng = np.random.RandomState(16)
+    B, Cq, cout, K = 1, 8, 6, 9
+    shapes = [(10, 12)]
+    feats = _repr_feats(rng, shapes, B, Cq)
+    offs = [jnp.asarray(2.0 * rng.randn(B, 10, 12, 2 * K)
+                        .astype(np.float32))]
+    masks = [jnp.asarray(rng.rand(B, 10, 12, K).astype(np.float32))]
+    w = jnp.asarray(rng.randn(3, 3, Cq, cout).astype(np.float32))
+
+    try:
+        fd.set_sampling("backbone=nearest")
+        fd.set_quant(None)
+        ref = fd.multilevel_modulated_dcn(feats, offs, masks, w,
+                                          site="backbone")
+        fd.set_quant("backbone=int8")
+        got = fd.multilevel_modulated_dcn(feats, offs, masks, w,
+                                          site="backbone")
+        np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                                   rtol=1e-4, atol=1e-4)
+    finally:
+        fd.set_sampling("bilinear")
+        fd.set_quant(None)
