@@ -183,6 +183,69 @@ INFERENCE_REFINE_TAPS: List[Optional[str]] = [None]
 INFERENCE_QUANT: List[Optional[str]] = [None]
 
 
+_SITES = ("backbone", "tower", "refine")
+
+
+def current_sampling_spec() -> str:
+    """Serialize the ACTIVE sampling mode/policy back to a spec string.
+
+    Used by the checkpoint layer to record the train-time sampling
+    configuration in the per-checkpoint meta sidecar."""
+    if not SAMPLING_POLICY:
+        return SAMPLING[0]
+    return ",".join(f"{s}={m}" for s, m in sorted(SAMPLING_POLICY.items()))
+
+
+def deploy_sampling_spec(train_spec: Optional[str]) -> Optional[str]:
+    """Deploy-time sampling policy implied by a checkpoint's TRAIN spec.
+
+    ``nearest_ste`` trains offsets that live on the rounded lattice
+    (forward = 1-read nearest, backward = bilinear tent gradients), so
+    such a checkpoint deploys at ``nearest`` with no train/test skew —
+    the measured 17-18 img/s all-nearest inference path.  Sites trained
+    bilinear keep the shipped measured default for bilinear checkpoints
+    (``INFERENCE_SAMPLING``, backbone=nearest at -0.32 AP).  Returns a
+    spec string for the inference default, or ``None`` when nothing
+    should change (shipped default already covers it)."""
+    t_default, t_policy = _parse_sampling(train_spec)
+    b_default, b_policy = _parse_sampling(INFERENCE_SAMPLING[0])
+    mapped = {}
+    for site in _SITES:
+        mode = t_policy.get(site, t_default)
+        if mode == "nearest_ste":
+            mapped[site] = "nearest"
+        elif mode != "bilinear":
+            mapped[site] = mode          # trained non-bilinear: deploy as trained
+        else:
+            base = b_policy.get(site, b_default)
+            if base != "bilinear":
+                mapped[site] = base      # shipped default for bilinear sites
+    if not mapped:
+        return None
+    if len(mapped) == len(_SITES) and len(set(mapped.values())) == 1:
+        return next(iter(mapped.values()))
+    return ",".join(f"{s}={m}" for s, m in sorted(mapped.items()))
+
+
+def arm_deploy_policy(meta: Optional[dict]) -> None:
+    """Arm the inference-default policy from a checkpoint's train meta.
+
+    Called on eval-time restore (``train/checkpoint.restore_eval_state``).
+    Only adjusts the DEFAULT (``INFERENCE_SAMPLING`` /
+    ``INFERENCE_REFINE_TAPS``) — an explicit user choice via
+    LSNET_DCN_SAMPLING / LSNET_REFINE_TAPS / cfg still wins inside
+    :func:`inference_sampling`."""
+    if not meta:
+        return
+    spec = deploy_sampling_spec(meta.get("dcn_sampling_train"))
+    if spec is not None:
+        INFERENCE_SAMPLING[0] = spec
+    taps = meta.get("refine_taps_train")
+    if taps:
+        # taps must match train time (post-hoc taps5 measured -5.8 AP)
+        INFERENCE_REFINE_TAPS[0] = str(taps)
+
+
 @contextlib.contextmanager
 def inference_sampling():
     """Scope the inference-default sampling policy to a forward trace.

@@ -19,13 +19,54 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def save_checkpoint(ckpt_dir: str, state, step: int) -> str:
+def train_meta() -> Dict[str, Any]:
+    """Deployment-relevant TRAIN-time configuration, recorded per save.
+
+    A ``nearest_ste``-trained checkpoint deploys on the 1-read nearest
+    sampling path (and a 5-tap-trained one on the 5-tap refine path) with
+    no train/test skew — but only if the deploy side KNOWS how the
+    checkpoint was trained.  This sidecar is that record; eval-time
+    restore feeds it to :func:`lsnet_tpu.ops.flat_deform.arm_deploy_policy`.
+    """
+    from ..ops import flat_deform
+    meta: Dict[str, Any] = {
+        "dcn_sampling_train": flat_deform.current_sampling_spec()}
+    taps = os.environ.get("LSNET_REFINE_TAPS")
+    if taps:
+        meta["refine_taps_train"] = taps
+    return meta
+
+
+def save_checkpoint(ckpt_dir: str, state, step: int,
+                    meta: Optional[Dict[str, Any]] = None) -> str:
+    import json
+
     import orbax.checkpoint as ocp
     path = os.path.abspath(os.path.join(ckpt_dir, f"step_{step}"))
     ckptr = ocp.StandardCheckpointer()
     ckptr.save(path, state, force=True)
     ckptr.wait_until_finished()
+    # dotfile sibling sidecar (orbax owns the step dir itself, and a
+    # visible "step_N.meta.json" would match the `step_*` globs that
+    # tooling/users naturally use to pick the latest checkpoint)
+    with open(_meta_path(path), "w") as f:
+        json.dump(train_meta() if meta is None else meta, f)
     return path
+
+
+def _meta_path(ckpt_path: str) -> str:
+    d, base = os.path.split(os.path.abspath(ckpt_path))
+    return os.path.join(d, f".{base}.meta.json")
+
+
+def load_deploy_meta(path: str) -> Optional[Dict[str, Any]]:
+    """Read a checkpoint's train-meta sidecar (None for pre-r5 saves)."""
+    import json
+    meta_path = _meta_path(path)
+    if not os.path.isfile(meta_path):
+        return None
+    with open(meta_path) as f:
+        return json.load(f)
 
 
 def restore_checkpoint(path: str, target):
@@ -62,6 +103,9 @@ def restore_eval_state(path: str, variables):
     import orbax.checkpoint as ocp
 
     from .step import TrainState
+
+    from ..ops.flat_deform import arm_deploy_policy
+    arm_deploy_policy(load_deploy_meta(path))
 
     raw = ocp.StandardCheckpointer().restore(os.path.abspath(path))
     want = jax.tree.structure(variables["params"])

@@ -307,6 +307,16 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
     logger = JsonLogger(work_dir, interval=cfg.get("log_interval", 50))
     print("environment:", dict(collect_env()), flush=True)
 
+    # declarative TRAIN-time DCN sampling recipe (e.g. "nearest_ste" to
+    # train offsets on the rounded lattice so the checkpoint deploys on
+    # the 1-read nearest path) — cfg wins over the env default, mirroring
+    # test_cfg.dcn_sampling on the inference side; recorded per save in
+    # the checkpoint meta sidecar (train/checkpoint.train_meta)
+    train_sampling = cfg.get("train_cfg", {}).get("dcn_sampling")
+    if train_sampling:
+        from ..ops.flat_deform import set_sampling
+        set_sampling(str(train_sampling))
+
     head = _head_cfg(cfg)
     task = {"bbox": "bbox", "segm": "segm",
             "pose_bbox": "pose", "pose_kbox": "pose"}[head.get("task", "bbox")]
@@ -389,6 +399,19 @@ def train_detector(cfg, work_dir: str, *, total_epochs: Optional[int] = None,
         state = restore_checkpoint(resume_from, state)
         start_epoch = int(state.step) // steps_per_epoch
         print(f"resumed from {resume_from} at epoch {start_epoch}")
+        # a resumed run that silently switches the DCN sampling mode would
+        # train offsets against the wrong interpolation (the sidecar is
+        # what makes nearest_ste checkpoints deployable skew-free)
+        from .checkpoint import load_deploy_meta
+        meta = load_deploy_meta(resume_from)
+        if meta:
+            from ..ops.flat_deform import current_sampling_spec
+            saved = meta.get("dcn_sampling_train")
+            if saved is not None and saved != current_sampling_spec():
+                print(f"WARNING: resuming a checkpoint trained with DCN "
+                      f"sampling '{saved}' but the current run uses "
+                      f"'{current_sampling_spec()}' — set "
+                      f"LSNET_DCN_SAMPLING={saved} unless intentional")
 
     mesh = make_mesh(n_data=n_dev)
     # one jitted step per canvas orientation (two static shapes total —

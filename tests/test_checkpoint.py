@@ -103,6 +103,85 @@ def test_frozen_bn_matches_torch_eval():
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+# -------------------- train-meta sidecar / deploy-policy arming (r5) --------
+
+def test_checkpoint_meta_sidecar_roundtrip(tmp_path):
+    """A nearest_ste-trained save records its spec; eval restore arms the
+    matching deploy default (nearest) without touching explicit choices."""
+    from lsnet_tpu.ops import flat_deform as fd
+    from lsnet_tpu.train.checkpoint import (load_deploy_meta,
+                                            restore_eval_state,
+                                            save_checkpoint)
+    from lsnet_tpu.train.step import TrainState
+
+    params = {"w": jnp.arange(4.0)}
+    state = TrainState(step=jnp.int32(3), params=params, batch_stats={},
+                       opt_state=())
+    prev = (fd.SAMPLING[0], dict(fd.SAMPLING_POLICY),
+            fd.INFERENCE_SAMPLING[0], fd.INFERENCE_REFINE_TAPS[0])
+    try:
+        fd.set_sampling("nearest_ste")
+        path = save_checkpoint(str(tmp_path / "ck"), state, 3)
+        meta = load_deploy_meta(path)
+        assert meta == {"dcn_sampling_train": "nearest_ste"}
+        # eval-side restore arms the deploy default
+        fd.set_sampling(None)            # back to implicit
+        fd.INFERENCE_SAMPLING[0] = "backbone=nearest"
+        restored = restore_eval_state(
+            path, {"params": {"w": jnp.zeros(4)}})
+        np.testing.assert_allclose(np.asarray(restored.params["w"]),
+                                   np.arange(4.0))
+        assert fd.INFERENCE_SAMPLING[0] == "nearest"
+        # pre-r5 checkpoints (no sidecar) leave the default untouched
+        assert load_deploy_meta(str(tmp_path / "nope")) is None
+        fd.arm_deploy_policy(None)
+        assert fd.INFERENCE_SAMPLING[0] == "nearest"
+    finally:
+        fd.SAMPLING[0] = prev[0]
+        fd.SAMPLING_POLICY.clear()
+        fd.SAMPLING_POLICY.update(prev[1])
+        fd._SAMPLING_EXPLICIT[0] = False
+        fd.INFERENCE_SAMPLING[0] = prev[2]
+        fd.INFERENCE_REFINE_TAPS[0] = prev[3]
+
+
+def test_deploy_sampling_spec_mapping():
+    from lsnet_tpu.ops import flat_deform as fd
+
+    prev = fd.INFERENCE_SAMPLING[0]
+    fd.INFERENCE_SAMPLING[0] = "backbone=nearest"
+    try:
+        # global ste train -> global nearest deploy
+        assert fd.deploy_sampling_spec("nearest_ste") == "nearest"
+        # per-site ste merges with the shipped bilinear-site default
+        assert (fd.deploy_sampling_spec("tower=nearest_ste")
+                == "backbone=nearest,tower=nearest")
+        # pure-bilinear train keeps the shipped default
+        assert fd.deploy_sampling_spec("bilinear") == "backbone=nearest"
+        assert fd.deploy_sampling_spec(None) == "backbone=nearest"
+        # shipped default fully bilinear -> nothing to arm
+        fd.INFERENCE_SAMPLING[0] = "bilinear"
+        assert fd.deploy_sampling_spec("bilinear") is None
+        assert fd.deploy_sampling_spec("nearest_ste") == "nearest"
+    finally:
+        fd.INFERENCE_SAMPLING[0] = prev
+
+
+def test_train_meta_records_taps(monkeypatch):
+    from lsnet_tpu.ops import flat_deform as fd
+    from lsnet_tpu.train.checkpoint import train_meta
+
+    monkeypatch.setenv("LSNET_REFINE_TAPS", "5")
+    meta = train_meta()
+    assert meta["refine_taps_train"] == "5"
+    prev = fd.INFERENCE_REFINE_TAPS[0]
+    try:
+        fd.arm_deploy_policy(meta)
+        assert fd.INFERENCE_REFINE_TAPS[0] == "5"
+    finally:
+        fd.INFERENCE_REFINE_TAPS[0] = prev
+
+
 # -------------------- mmdet-keyspace converter (VERDICT r1 item 5) ----------
 
 def _gen_mmdet_backbone_sd(depth, base=16, block_type="resnet", groups=1,

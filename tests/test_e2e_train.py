@@ -85,15 +85,31 @@ def make_cfg(ann_file, img_dir):
 
 @pytest.mark.slow
 def test_train_detector_end_to_end(tmp_path):
+    from lsnet_tpu.ops import flat_deform as fd
+    from lsnet_tpu.train.checkpoint import load_deploy_meta
     from lsnet_tpu.train.loop import train_detector
     ann_file, img_dir = make_synthetic_coco(str(tmp_path), n_images=8)
     cfg = make_cfg(ann_file, img_dir)
-    out = train_detector(cfg, str(tmp_path / "work"), total_epochs=1,
-                         max_iters_per_epoch=3)
+    # declarative nearest-aware train recipe (cfg wins over env); the
+    # checkpoint sidecar must record it so eval deploys skew-free
+    cfg.train_cfg["dcn_sampling"] = "nearest_ste"
+    prev = (fd.SAMPLING[0], dict(fd.SAMPLING_POLICY), fd._SAMPLING_EXPLICIT[0])
+    try:
+        out = train_detector(cfg, str(tmp_path / "work"), total_epochs=1,
+                             max_iters_per_epoch=3)
+        assert fd.SAMPLING[0] == "nearest_ste"
+    finally:
+        fd.SAMPLING[0] = prev[0]
+        fd.SAMPLING_POLICY.clear()
+        fd.SAMPLING_POLICY.update(prev[1])
+        fd._SAMPLING_EXPLICIT[0] = prev[2]
     state = out["state"]
     assert int(state.step) == 1
     ckpts = os.listdir(str(tmp_path / "work" / "ckpts"))
     assert any(c.startswith("step_") for c in ckpts)
+    step_dir = [c for c in ckpts if c.startswith("step_")][0]
+    meta = load_deploy_meta(str(tmp_path / "work" / "ckpts" / step_dir))
+    assert meta["dcn_sampling_train"] == "nearest_ste"
     logs = [f for f in os.listdir(str(tmp_path / "work"))
             if f.endswith(".log.json")]
     assert logs
